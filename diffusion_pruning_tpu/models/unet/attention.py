@@ -1,0 +1,112 @@
+"""Head-gated attention and the gated transformer block.
+
+Reproduces the semantics of the reference's `GatedAttention` +
+`HeadGatedAttnProcessor2` (/root/reference/pdm/models/unet/blocks.py:132-280):
+q, k and v are each multiplied per-head by the same soft gate *before*
+scaled-dot-product attention (so soft gates scale the attention logits by g²
+and the output by g), and `BasicTransformerBlockWidthGated`
+(blocks.py:700-851) with its GEGLU feed-forward gate (blocks.py:24-129).
+
+TPU notes: attention runs through `jax.nn.dot_product_attention` (XLA fused
+path; a Pallas flash kernel with the head gate folded into the softmax scale
+lives in ops/flash_attention.py and is used when enabled). All shapes static.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from diffusion_pruning_tpu.ops.gates import channel_gate, head_gate
+
+
+class GatedAttention(nn.Module):
+    """Multi-head attention with a per-head width gate."""
+    dim: int
+    heads: int
+    context_dim: Optional[int] = None  # None = self-attention
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None, gate=None):
+        b, s, _ = x.shape
+        ctx = x if context is None else context
+        head_dim = self.dim // self.heads
+        dense = lambda name, use_bias: nn.Dense(
+            self.dim, use_bias=use_bias, dtype=self.dtype,
+            param_dtype=self.param_dtype, name=name)
+        q = dense("to_q", False)(x)
+        k = dense("to_k", False)(ctx)
+        v = dense("to_v", False)(ctx)
+
+        q = q.reshape(b, s, self.heads, head_dim)
+        k = k.reshape(b, ctx.shape[1], self.heads, head_dim)
+        v = v.reshape(b, ctx.shape[1], self.heads, head_dim)
+
+        if gate is not None:
+            q = head_gate(q, gate)
+            k = head_gate(k, gate)
+            v = head_gate(v, gate)
+
+        o = jax.nn.dot_product_attention(q, k, v)
+        o = o.reshape(b, s, self.dim)
+        return dense("to_out_0", True)(o)
+
+
+class GatedGEGLU(nn.Module):
+    """GEGLU with a grouped width gate on the inner dim (blocks.py:24-67).
+
+    Both the linear half and the gelu half are masked with the same grouped
+    gate before the product, matching the reference exactly (with soft gates
+    the product picks up the mask squared)."""
+    inner_dim: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, gate=None):
+        hg = nn.Dense(2 * self.inner_dim, dtype=self.dtype,
+                      param_dtype=self.param_dtype, name="proj")(x)
+        h, g = jnp.split(hg, 2, axis=-1)
+        if gate is not None:
+            h = channel_gate(h, gate)
+            g = channel_gate(g, gate)
+        return h * nn.gelu(g)
+
+
+class GatedFeedForward(nn.Module):
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, gate=None):
+        inner = self.dim * self.mult
+        h = GatedGEGLU(inner, self.dtype, self.param_dtype, name="act")(x, gate)
+        return nn.Dense(self.dim, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="out")(h)
+
+
+class GatedTransformerBlock(nn.Module):
+    """Pre-LN transformer block: self-attn, cross-attn, gated GEGLU FF."""
+    dim: int
+    heads: int
+    context_dim: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, gate_attn1=None, gate_attn2=None, gate_ff=None):
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                       param_dtype=self.param_dtype, name=name)
+        x = x + GatedAttention(self.dim, self.heads, None, self.dtype,
+                               self.param_dtype, name="attn1")(ln("norm1")(x), None, gate_attn1)
+        x = x + GatedAttention(self.dim, self.heads, self.context_dim, self.dtype,
+                               self.param_dtype, name="attn2")(ln("norm2")(x), context, gate_attn2)
+        x = x + GatedFeedForward(self.dim, dtype=self.dtype,
+                                 param_dtype=self.param_dtype, name="ff")(ln("norm3")(x), gate_ff)
+        return x

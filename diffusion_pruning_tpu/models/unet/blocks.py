@@ -1,0 +1,138 @@
+"""Gated U-Net building blocks (flax, NHWC).
+
+Functional re-implementations of the reference's gated diffusers subclasses
+(/root/reference/pdm/models/unet/blocks.py): `ResnetBlock2DWidthGated` /
+`...WidthDepthGated` (:283-697) and `Transformer2DModelWidthGated` /
+`...WidthDepthGated` (:941-1438). Instead of mutating per-module gate state,
+each block takes its gate slices as call arguments; the depth gate takes the
+identity tensor explicitly (recovering the reference's concat-splitting rule
+for up-blocks, blocks.py:482-498, without any shape bookkeeping).
+
+Gate placement is bit-identical in semantics to the reference:
+  * resnet width gate: after conv1 + time-emb add, before norm2 — the gate
+    groups align with norm2's GroupNorm groups (blocks.py:345-353);
+  * transformer: per-head gates on attn1/attn2 q,k,v and the grouped GEGLU
+    gate (attention.py);
+  * depth gate: out = (1-m)·identity + m·block_out (gates.py:36-42).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from diffusion_pruning_tpu.models.unet.attention import GatedTransformerBlock
+from diffusion_pruning_tpu.ops.gates import channel_gate, depth_lerp
+
+
+def conv3x3(features, name, dtype, param_dtype, stride=1):
+    return nn.Conv(features, (3, 3), strides=(stride, stride), padding=1,
+                   dtype=dtype, param_dtype=param_dtype, name=name)
+
+
+def conv1x1(features, name, dtype, param_dtype):
+    return nn.Conv(features, (1, 1), dtype=dtype, param_dtype=param_dtype, name=name)
+
+
+class GatedResnetBlock(nn.Module):
+    """SD resnet block with an optional grouped width gate and depth gate."""
+    out_channels: int
+    groups: int = 32
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb, gate=None, depth_gate=None, identity=None):
+        """identity: tensor returned when the depth gate is closed. For
+        up-blocks x is a concat [hidden, skip] and identity is the hidden
+        part; defaults to x itself (down/mid blocks)."""
+        cin = x.shape[-1]
+        gn = lambda name: nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                                       dtype=self.dtype, param_dtype=self.param_dtype,
+                                       name=name)
+        h = nn.silu(gn("norm1")(x))
+        h = conv3x3(self.out_channels, "conv1", self.dtype, self.param_dtype)(h)
+        t = nn.Dense(self.out_channels, dtype=self.dtype, param_dtype=self.param_dtype,
+                     name="time_emb_proj")(nn.silu(temb))
+        h = h + t[:, None, None, :]
+        if gate is not None:
+            h = channel_gate(h, gate)
+        h = nn.silu(gn("norm2")(h))
+        h = conv3x3(self.out_channels, "conv2", self.dtype, self.param_dtype)(h)
+        shortcut = x
+        if cin != self.out_channels:
+            shortcut = conv1x1(self.out_channels, "conv_shortcut",
+                               self.dtype, self.param_dtype)(x)
+        out = shortcut + h
+        if depth_gate is not None:
+            out = depth_lerp(depth_gate, x if identity is None else identity, out)
+        return out
+
+
+class GatedTransformer2D(nn.Module):
+    """Spatial transformer: GroupNorm → proj_in → transformer block(s) →
+    proj_out → +residual, with optional width gates and a depth gate whose
+    identity path is the block input."""
+    channels: int
+    heads: int
+    context_dim: int
+    num_layers: int = 1
+    groups: int = 32
+    use_linear_projection: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, gates: Optional[Tuple] = None, depth_gate=None):
+        """gates: per transformer layer a tuple (attn1, attn2, ff) of gate
+        slices (each possibly None)."""
+        b, h, w, c = x.shape
+        residual = x
+        y = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="norm")(x)
+        y = y.reshape(b, h * w, c)
+        if self.use_linear_projection:
+            y = nn.Dense(self.channels, dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="proj_in")(y)
+        else:
+            y = conv1x1(self.channels, "proj_in", self.dtype, self.param_dtype)(
+                y.reshape(b, h, w, c)).reshape(b, h * w, self.channels)
+        for i in range(self.num_layers):
+            g1, g2, gf = gates[i] if gates is not None else (None, None, None)
+            y = GatedTransformerBlock(self.channels, self.heads, self.context_dim,
+                                      self.dtype, self.param_dtype,
+                                      name=f"transformer_blocks_{i}")(y, context, g1, g2, gf)
+        if self.use_linear_projection:
+            y = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="proj_out")(y)
+            y = y.reshape(b, h, w, c)
+        else:
+            y = conv1x1(c, "proj_out", self.dtype, self.param_dtype)(y.reshape(b, h, w, -1))
+        out = y + residual
+        if depth_gate is not None:
+            out = depth_lerp(depth_gate, residual, out)
+        return out
+
+
+class Downsample(nn.Module):
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return conv3x3(self.channels, "conv", self.dtype, self.param_dtype, stride=2)(x)
+
+
+class Upsample(nn.Module):
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)  # nearest 2x
+        return conv3x3(self.channels, "conv", self.dtype, self.param_dtype)(x)

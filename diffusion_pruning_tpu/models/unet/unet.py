@@ -1,0 +1,200 @@
+"""The gated conditional U-Net (flax, NHWC, jit-first).
+
+Functional re-implementation of the reference's `UNet2DConditionModelGated`
+(/root/reference/pdm/models/unet/unet_2d_conditional.py:628-2181). The whole
+per-prompt architecture is a single flat `(B, vq_dim)` array `arch`
+(widths then depths, in the `StructureSpec` order); `set_structure` is just
+passing a different array — no module mutation, no retraces (shapes are
+static). `arch=None` runs the dense model (identical to all-ones gates,
+used for the distillation teacher — trainer.py:1185-1190 — without the
+pointless multiplies).
+
+The forward optionally returns per-block activations (`return_features=True`)
+replacing the reference's forward hooks for the block-distillation loss
+(trainer.py:496-511): down-block outputs, mid output and up-block outputs,
+keyed 'd{i}', 'm', 'u{i}' exactly like the reference's hook names.
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from diffusion_pruning_tpu.core.structure import StructureSpec, SubBlock, build_structure
+from diffusion_pruning_tpu.models.unet.blocks import (
+    Downsample,
+    GatedResnetBlock,
+    GatedTransformer2D,
+    Upsample,
+    conv3x3,
+)
+from diffusion_pruning_tpu.models.unet.config import UNetConfig
+from diffusion_pruning_tpu.ops.gates import match_batch
+
+
+def timestep_embedding(timesteps: jax.Array, dim: int, flip_sin_to_cos: bool = True,
+                       freq_shift: float = 0.0, max_period: float = 10000.0) -> jax.Array:
+    """Sinusoidal timestep features (diffusers `Timesteps` semantics)."""
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - freq_shift)
+    emb = timesteps.astype(jnp.float32)[:, None] * jnp.exp(exponent)[None, :]
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    return jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+
+
+class _GateReader:
+    """Slices width/depth gates for a subblock out of the flat arch array."""
+
+    def __init__(self, spec: StructureSpec, arch: Optional[jax.Array]):
+        self.subs = {sb.name: sb for sb in spec.subblocks}
+        self.num_width = spec.num_width
+        self.arch = arch
+
+    def resnet(self, name: str):
+        """(width_gate, depth_gate) for a resnet subblock (or None, None)."""
+        sb = self.subs.get(name)
+        if sb is None or self.arch is None:
+            return None, None
+        site = sb.sites[0]
+        w = self.arch[:, site.start: site.start + site.width]
+        d = self._depth(sb)
+        return w, d
+
+    def transformer(self, name: str):
+        """((attn1, attn2, ff),) per layer gates + depth gate."""
+        sb = self.subs.get(name)
+        if sb is None or self.arch is None:
+            return None, None
+        gs = []
+        for site in sb.sites:
+            gs.append(self.arch[:, site.start: site.start + site.width])
+        if len(gs) == 2:
+            gs.append(None)  # ungated ff
+        return (tuple(gs),), self._depth(sb)
+
+    def _depth(self, sb: SubBlock):
+        if sb.depth_index < 0:
+            return None
+        return self.arch[:, self.num_width + sb.depth_index]
+
+
+class GatedUNet(nn.Module):
+    cfg: UNetConfig
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @property
+    def spec(self) -> StructureSpec:
+        return build_structure(self.cfg)
+
+    @nn.compact
+    def __call__(
+        self,
+        sample: jax.Array,               # (B, H, W, C_in) NHWC latents
+        timesteps: jax.Array,            # (B,)
+        encoder_hidden_states: jax.Array,  # (B, 77, cross_dim)
+        arch: Optional[jax.Array] = None,  # (B or B/cfg-scale, vq_dim)
+        return_features: bool = False,
+    ):
+        cfg = self.cfg
+        spec = self.spec
+        if arch is not None:
+            arch = match_batch(arch, sample.shape[0])
+        gates = _GateReader(spec, arch)
+        features: Dict[str, jax.Array] = {}
+
+        resnet = lambda cout, name: GatedResnetBlock(
+            cout, cfg.norm_num_groups, cfg.norm_eps, self.dtype, self.param_dtype, name=name)
+        transformer = lambda c, heads, name: GatedTransformer2D(
+            c, heads, cfg.cross_attention_dim, 1, cfg.norm_num_groups,
+            cfg.use_linear_projection, self.dtype, self.param_dtype, name=name)
+
+        # --- time embedding ---
+        t_emb = timestep_embedding(timesteps, cfg.block_out_channels[0],
+                                   cfg.flip_sin_to_cos, cfg.freq_shift)
+        t_emb = t_emb.astype(self.dtype)
+        temb = nn.Dense(cfg.time_embed_dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                        name="time_embedding_linear_1")(t_emb)
+        temb = nn.Dense(cfg.time_embed_dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                        name="time_embedding_linear_2")(nn.silu(temb))
+
+        encoder_hidden_states = encoder_hidden_states.astype(self.dtype)
+        sample = sample.astype(self.dtype)
+
+        # --- down path ---
+        h = conv3x3(cfg.block_out_channels[0], "conv_in", self.dtype, self.param_dtype)(sample)
+        res_stack = [h]
+        L = cfg.num_levels
+        out_ch = cfg.block_out_channels[0]
+        for i, block_type in enumerate(cfg.down_block_types):
+            out_ch = cfg.block_out_channels[i]
+            cross = block_type.startswith("CrossAttn")
+            for j in range(cfg.layers_per_block):
+                wg, dg = gates.resnet(f"down.{i}.resnet.{j}")
+                h = resnet(out_ch, f"down_blocks_{i}_resnets_{j}")(h, temb, wg, dg)
+                if cross:
+                    tg, tdg = gates.transformer(f"down.{i}.attn.{j}")
+                    h = transformer(out_ch, cfg.heads_at(i),
+                                    f"down_blocks_{i}_attentions_{j}")(
+                        h, encoder_hidden_states, tg, tdg)
+                res_stack.append(h)
+            if i < L - 1:
+                h = Downsample(out_ch, self.dtype, self.param_dtype,
+                               name=f"down_blocks_{i}_downsamplers_0")(h)
+                res_stack.append(h)
+            features[f"d{i}"] = h
+
+        # --- mid ---
+        mid_ch = cfg.block_out_channels[-1]
+        wg, _ = gates.resnet("mid.resnet.0")
+        h = resnet(mid_ch, "mid_block_resnets_0")(h, temb, wg)
+        tg, _ = gates.transformer("mid.attn.0")
+        h = transformer(mid_ch, cfg.heads_at(L - 1), "mid_block_attentions_0")(
+            h, encoder_hidden_states, tg, None)
+        wg, _ = gates.resnet("mid.resnet.1")
+        h = resnet(mid_ch, "mid_block_resnets_1")(h, temb, wg)
+        features["m"] = h
+
+        # --- up path ---
+        rev = list(reversed(cfg.block_out_channels))
+        for i, block_type in enumerate(cfg.up_block_types):
+            out_ch = rev[i]
+            level = L - 1 - i
+            cross = block_type.startswith("CrossAttn")
+            for j in range(cfg.layers_per_block + 1):
+                skip = res_stack.pop()
+                identity = h
+                h = jnp.concatenate([h, skip], axis=-1)
+                wg, dg = gates.resnet(f"up.{i}.resnet.{j}")
+                h = resnet(out_ch, f"up_blocks_{i}_resnets_{j}")(h, temb, wg, dg, identity)
+                if cross:
+                    tg, tdg = gates.transformer(f"up.{i}.attn.{j}")
+                    h = transformer(out_ch, cfg.heads_at(level),
+                                    f"up_blocks_{i}_attentions_{j}")(
+                        h, encoder_hidden_states, tg, tdg)
+            if i < L - 1:
+                h = Upsample(out_ch, self.dtype, self.param_dtype,
+                             name=f"up_blocks_{i}_upsamplers_0")(h)
+            features[f"u{i}"] = h
+
+        # --- out ---
+        h = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=cfg.norm_eps,
+                         dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="conv_norm_out")(h)
+        h = nn.silu(h)
+        out = conv3x3(cfg.out_channels, "conv_out", self.dtype, self.param_dtype)(h)
+        if return_features:
+            return out, features
+        return out
+
+    def init_params(self, rng: jax.Array, batch: int = 1):
+        cfg = self.cfg
+        s = cfg.sample_size
+        sample = jnp.zeros((batch, s, s, cfg.in_channels), self.dtype)
+        t = jnp.zeros((batch,), jnp.int32)
+        ehs = jnp.zeros((batch, cfg.max_text_len, cfg.cross_attention_dim), self.dtype)
+        return self.init(rng, sample, t, ehs)["params"]

@@ -1,0 +1,136 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_pruning_tpu.core import build_structure
+from diffusion_pruning_tpu.models.unet.config import UNetConfig
+from diffusion_pruning_tpu.models.unet.unet import GatedUNet, timestep_embedding
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = UNetConfig.tiny()
+    model = GatedUNet(cfg)
+    params = model.init_params(jax.random.PRNGKey(0), batch=1)
+    spec = build_structure(cfg)
+    return cfg, model, params, spec
+
+
+def _inputs(cfg, batch, key=0):
+    ks = jax.random.split(jax.random.PRNGKey(key), 3)
+    sample = jax.random.normal(ks[0], (batch, cfg.sample_size, cfg.sample_size, cfg.in_channels))
+    t = jnp.arange(batch) * 100
+    ehs = jax.random.normal(ks[1], (batch, cfg.max_text_len, cfg.cross_attention_dim))
+    return sample, t, ehs
+
+
+def test_forward_shape_and_finite(tiny):
+    cfg, model, params, spec = tiny
+    sample, t, ehs = _inputs(cfg, 2)
+    out = model.apply({"params": params}, sample, t, ehs)
+    assert out.shape == (2, cfg.sample_size, cfg.sample_size, cfg.out_channels)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_all_ones_arch_equals_dense(tiny):
+    """set_structure(ones) must be the dense model (teacher semantics)."""
+    cfg, model, params, spec = tiny
+    sample, t, ehs = _inputs(cfg, 2)
+    dense = model.apply({"params": params}, sample, t, ehs)
+    ones = model.apply({"params": params}, sample, t, ehs,
+                       arch=jnp.ones((2, spec.vq_dim)))
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(ones), atol=1e-5)
+
+
+def test_depth_gate_zero_skips_subblock(tiny):
+    """Closing one depth gate = identity path through that subblock; the
+    result must differ from dense but stay finite, and closing ALL depth
+    gates must still run (half-gated: non-depth subblocks keep compute)."""
+    cfg, model, params, spec = tiny
+    sample, t, ehs = _inputs(cfg, 2)
+    arch = jnp.ones((2, spec.vq_dim))
+    arch = arch.at[:, spec.num_width:].set(0.0)
+    out = model.apply({"params": params}, sample, t, ehs, arch=arch)
+    dense = model.apply({"params": params}, sample, t, ehs)
+    assert np.isfinite(np.asarray(out)).all()
+    assert not np.allclose(np.asarray(out), np.asarray(dense), atol=1e-5)
+
+
+def test_per_sample_gates_are_independent(tiny):
+    """Each sample in a batch runs its own (masked) architecture: batching
+    [a0, a1] must equal running a0 and a1 separately."""
+    cfg, model, params, spec = tiny
+    sample, t, ehs = _inputs(cfg, 2)
+    key = jax.random.PRNGKey(7)
+    arch = (jax.random.uniform(key, (2, spec.vq_dim)) > 0.3).astype(jnp.float32)
+
+    batched = model.apply({"params": params}, sample, t, ehs, arch=arch)
+    for i in range(2):
+        single = model.apply({"params": params}, sample[i:i+1], t[i:i+1], ehs[i:i+1],
+                             arch=arch[i:i+1])
+        # exact on TPU; loose tolerance absorbs oneDNN's batch-size-dependent
+        # conv reductions on the CPU test backend (real coupling would be O(1))
+        np.testing.assert_allclose(np.asarray(batched[i]), np.asarray(single[0]),
+                                   atol=5e-3, rtol=5e-2)
+
+
+def test_cfg_batch_doubling(tiny):
+    """Gates for B prompts apply to 2B activations (CFG): tile semantics."""
+    cfg, model, params, spec = tiny
+    sample, t, ehs = _inputs(cfg, 4)
+    arch2 = (jax.random.uniform(jax.random.PRNGKey(3), (2, spec.vq_dim)) > 0.3).astype(jnp.float32)
+    doubled = model.apply({"params": params}, sample, t, ehs, arch=arch2)
+    explicit = model.apply({"params": params}, sample, t, ehs,
+                           arch=jnp.tile(arch2, (2, 1)))
+    np.testing.assert_allclose(np.asarray(doubled), np.asarray(explicit), atol=1e-6)
+
+
+def test_width_gate_zero_group_changes_output(tiny):
+    cfg, model, params, spec = tiny
+    sample, t, ehs = _inputs(cfg, 1)
+    arch = jnp.ones((1, spec.vq_dim))
+    site = spec.subblocks[0].sites[0]
+    arch = arch.at[0, site.start: site.start + site.width // 2].set(0.0)
+    out = model.apply({"params": params}, sample, t, ehs, arch=arch)
+    dense = model.apply({"params": params}, sample, t, ehs)
+    assert not np.allclose(np.asarray(out), np.asarray(dense), atol=1e-5)
+
+
+def test_return_features_keys(tiny):
+    cfg, model, params, spec = tiny
+    sample, t, ehs = _inputs(cfg, 1)
+    out, feats = model.apply({"params": params}, sample, t, ehs, return_features=True)
+    n_down = len(cfg.down_block_types)
+    n_up = len(cfg.up_block_types)
+    assert set(feats) == {f"d{i}" for i in range(n_down)} | {"m"} | {f"u{i}" for i in range(n_up)}
+
+
+def test_soft_gates_differentiable(tiny):
+    """Gradients flow from the output back to a soft arch vector."""
+    cfg, model, params, spec = tiny
+    sample, t, ehs = _inputs(cfg, 1)
+
+    def loss(arch):
+        out = model.apply({"params": params}, sample, t, ehs, arch=arch)
+        return (out.astype(jnp.float32) ** 2).mean()
+
+    g = jax.grad(loss)(jnp.full((1, spec.vq_dim), 0.8))
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def test_timestep_embedding_flip():
+    emb = timestep_embedding(jnp.asarray([0.0]), 8, flip_sin_to_cos=True)
+    # t=0: cos parts 1, sin parts 0
+    np.testing.assert_allclose(np.asarray(emb[0, :4]), np.ones(4), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(emb[0, 4:]), np.zeros(4), atol=1e-6)
+
+
+def test_param_count_sd21_scale():
+    """SD-2.1 config builds with the expected ~0.87B parameter count."""
+    cfg = UNetConfig.sd21()
+    model = GatedUNet(cfg)
+    shapes = jax.eval_shape(lambda: model.init_params(jax.random.PRNGKey(0)))
+    n = sum(np.prod(x.shape) for x in jax.tree.leaves(shapes))
+    assert 8.0e8 < n < 9.5e8, n
