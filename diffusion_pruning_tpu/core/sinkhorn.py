@@ -42,16 +42,25 @@ def sinkhorn(
             return x
         return jax.lax.psum(x, axis_name)
 
-    q = jnp.exp(scores / epsilon).T  # (K, B_local)
+    # subtract the global max before exp: a constant shift cancels in the
+    # row/column normalisations but prevents overflow at small epsilon
+    # (the reference exponentiates raw scores — quantizer.py:279 — which
+    # overflows float32 for score/epsilon > ~88)
+    smax = jnp.max(scores)
+    if axis_name is not None:
+        smax = jax.lax.pmax(smax, axis_name)
+    q = jnp.exp((scores - smax) / epsilon).T  # (K, B_local)
     k = q.shape[0]
     b = q.shape[1] * (axis_size if axis_name is not None else 1)
 
     q = q / allsum(jnp.sum(q))
 
+    tiny = jnp.finfo(q.dtype).tiny
+
     def body(_, q):
         row = allsum(jnp.sum(q, axis=1, keepdims=True))
-        q = q / row / k
-        q = q / jnp.sum(q, axis=0, keepdims=True) / b
+        q = q / jnp.maximum(row, tiny) / k
+        q = q / jnp.maximum(jnp.sum(q, axis=0, keepdims=True), tiny) / b
         return q
 
     q = jax.lax.fori_loop(0, iterations, body, q)

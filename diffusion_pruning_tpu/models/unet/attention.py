@@ -23,10 +23,15 @@ from diffusion_pruning_tpu.ops.gates import channel_gate, head_gate
 
 
 class GatedAttention(nn.Module):
-    """Multi-head attention with a per-head width gate."""
+    """Multi-head attention with a per-head width gate.
+
+    `active_heads` < heads builds a physically head-pruned projection
+    (reference GatedAttention.prune, blocks.py:153-187): q/k/v emit only the
+    kept heads, to_out consumes them, output dim unchanged."""
     dim: int
     heads: int
     context_dim: Optional[int] = None  # None = self-attention
+    active_heads: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -35,16 +40,18 @@ class GatedAttention(nn.Module):
         b, s, _ = x.shape
         ctx = x if context is None else context
         head_dim = self.dim // self.heads
-        dense = lambda name, use_bias: nn.Dense(
-            self.dim, use_bias=use_bias, dtype=self.dtype,
-            param_dtype=self.param_dtype, name=name)
-        q = dense("to_q", False)(x)
-        k = dense("to_k", False)(ctx)
-        v = dense("to_v", False)(ctx)
+        heads = self.active_heads if self.active_heads is not None else self.heads
+        inner = heads * head_dim
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="to_v")(ctx)
 
-        q = q.reshape(b, s, self.heads, head_dim)
-        k = k.reshape(b, ctx.shape[1], self.heads, head_dim)
-        v = v.reshape(b, ctx.shape[1], self.heads, head_dim)
+        q = q.reshape(b, s, heads, head_dim)
+        k = k.reshape(b, ctx.shape[1], heads, head_dim)
+        v = v.reshape(b, ctx.shape[1], heads, head_dim)
 
         if gate is not None:
             q = head_gate(q, gate)
@@ -52,8 +59,9 @@ class GatedAttention(nn.Module):
             v = head_gate(v, gate)
 
         o = jax.nn.dot_product_attention(q, k, v)
-        o = o.reshape(b, s, self.dim)
-        return dense("to_out_0", True)(o)
+        o = o.reshape(b, s, inner)
+        return nn.Dense(self.dim, use_bias=True, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="to_out_0")(o)
 
 
 class GatedGEGLU(nn.Module):
@@ -78,14 +86,17 @@ class GatedGEGLU(nn.Module):
 
 
 class GatedFeedForward(nn.Module):
+    """`active_inner` < dim*mult builds the physically pruned GEGLU
+    (reference prune_gate/prune, blocks.py:52-67, 121-129)."""
     dim: int
     mult: int = 4
+    active_inner: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, gate=None):
-        inner = self.dim * self.mult
+        inner = self.active_inner if self.active_inner is not None else self.dim * self.mult
         h = GatedGEGLU(inner, self.dtype, self.param_dtype, name="act")(x, gate)
         return nn.Dense(self.dim, dtype=self.dtype,
                         param_dtype=self.param_dtype, name="out")(h)
@@ -96,6 +107,9 @@ class GatedTransformerBlock(nn.Module):
     dim: int
     heads: int
     context_dim: int
+    active_heads1: Optional[int] = None
+    active_heads2: Optional[int] = None
+    active_ff_inner: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -103,10 +117,13 @@ class GatedTransformerBlock(nn.Module):
     def __call__(self, x, context, gate_attn1=None, gate_attn2=None, gate_ff=None):
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                        param_dtype=self.param_dtype, name=name)
-        x = x + GatedAttention(self.dim, self.heads, None, self.dtype,
-                               self.param_dtype, name="attn1")(ln("norm1")(x), None, gate_attn1)
-        x = x + GatedAttention(self.dim, self.heads, self.context_dim, self.dtype,
-                               self.param_dtype, name="attn2")(ln("norm2")(x), context, gate_attn2)
-        x = x + GatedFeedForward(self.dim, dtype=self.dtype,
-                                 param_dtype=self.param_dtype, name="ff")(ln("norm3")(x), gate_ff)
+        x = x + GatedAttention(self.dim, self.heads, None, self.active_heads1,
+                               self.dtype, self.param_dtype,
+                               name="attn1")(ln("norm1")(x), None, gate_attn1)
+        x = x + GatedAttention(self.dim, self.heads, self.context_dim, self.active_heads2,
+                               self.dtype, self.param_dtype,
+                               name="attn2")(ln("norm2")(x), context, gate_attn2)
+        x = x + GatedFeedForward(self.dim, active_inner=self.active_ff_inner,
+                                 dtype=self.dtype, param_dtype=self.param_dtype,
+                                 name="ff")(ln("norm3")(x), gate_ff)
         return x

@@ -36,10 +36,17 @@ def conv1x1(features, name, dtype, param_dtype):
 
 
 class GatedResnetBlock(nn.Module):
-    """SD resnet block with an optional grouped width gate and depth gate."""
+    """SD resnet block with an optional grouped width gate and depth gate.
+
+    `hidden_channels`/`hidden_groups` support physically pruned experts:
+    conv1 / time_emb_proj / norm2 emit only the kept groups (conv2 maps back
+    to out_channels), reproducing the reference's `prune()` slicing
+    (blocks.py:424-465) as static shapes."""
     out_channels: int
     groups: int = 32
     eps: float = 1e-5
+    hidden_channels: Optional[int] = None
+    hidden_groups: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -49,17 +56,20 @@ class GatedResnetBlock(nn.Module):
         up-blocks x is a concat [hidden, skip] and identity is the hidden
         part; defaults to x itself (down/mid blocks)."""
         cin = x.shape[-1]
-        gn = lambda name: nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
-                                       dtype=self.dtype, param_dtype=self.param_dtype,
-                                       name=name)
-        h = nn.silu(gn("norm1")(x))
-        h = conv3x3(self.out_channels, "conv1", self.dtype, self.param_dtype)(h)
-        t = nn.Dense(self.out_channels, dtype=self.dtype, param_dtype=self.param_dtype,
+        hidden = self.hidden_channels or self.out_channels
+        hgroups = self.hidden_groups or self.groups
+        h = nn.silu(nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                                 dtype=self.dtype, param_dtype=self.param_dtype,
+                                 name="norm1")(x))
+        h = conv3x3(hidden, "conv1", self.dtype, self.param_dtype)(h)
+        t = nn.Dense(hidden, dtype=self.dtype, param_dtype=self.param_dtype,
                      name="time_emb_proj")(nn.silu(temb))
         h = h + t[:, None, None, :]
         if gate is not None:
             h = channel_gate(h, gate)
-        h = nn.silu(gn("norm2")(h))
+        h = nn.silu(nn.GroupNorm(num_groups=hgroups, epsilon=self.eps,
+                                 dtype=self.dtype, param_dtype=self.param_dtype,
+                                 name="norm2")(h))
         h = conv3x3(self.out_channels, "conv2", self.dtype, self.param_dtype)(h)
         shortcut = x
         if cin != self.out_channels:
@@ -74,13 +84,17 @@ class GatedResnetBlock(nn.Module):
 class GatedTransformer2D(nn.Module):
     """Spatial transformer: GroupNorm → proj_in → transformer block(s) →
     proj_out → +residual, with optional width gates and a depth gate whose
-    identity path is the block input."""
+    identity path is the block input. `active_*` build the physically
+    pruned expert shapes."""
     channels: int
     heads: int
     context_dim: int
     num_layers: int = 1
     groups: int = 32
     use_linear_projection: bool = True
+    active_heads1: Optional[int] = None
+    active_heads2: Optional[int] = None
+    active_ff_inner: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -102,6 +116,8 @@ class GatedTransformer2D(nn.Module):
         for i in range(self.num_layers):
             g1, g2, gf = gates[i] if gates is not None else (None, None, None)
             y = GatedTransformerBlock(self.channels, self.heads, self.context_dim,
+                                      self.active_heads1, self.active_heads2,
+                                      self.active_ff_inner,
                                       self.dtype, self.param_dtype,
                                       name=f"transformer_blocks_{i}")(y, context, g1, g2, gf)
         if self.use_linear_projection:

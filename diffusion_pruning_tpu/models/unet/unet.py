@@ -83,7 +83,11 @@ class _GateReader:
 
 
 class GatedUNet(nn.Module):
+    """The gated U-Net. With `plan` set (a static ExpertPlan) the same
+    forward builds the *physically pruned* expert: kept-only channel shapes,
+    dropped subblocks elided entirely — no masking, real FLOP savings."""
     cfg: UNetConfig
+    plan: Optional["ExpertPlan"] = None  # noqa: F821 (models.unet.pruned)
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -103,15 +107,43 @@ class GatedUNet(nn.Module):
         cfg = self.cfg
         spec = self.spec
         if arch is not None:
+            if arch.shape[-1] != spec.vq_dim:
+                raise ValueError(
+                    f"arch vector has {arch.shape[-1]} logits, structure expects "
+                    f"{spec.vq_dim} ({spec.num_width} width + {spec.num_depth} depth)")
             arch = match_batch(arch, sample.shape[0])
         gates = _GateReader(spec, arch)
         features: Dict[str, jax.Array] = {}
+        plan = self.plan.by_name if self.plan is not None else {}
 
-        resnet = lambda cout, name: GatedResnetBlock(
-            cout, cfg.norm_num_groups, cfg.norm_eps, self.dtype, self.param_dtype, name=name)
-        transformer = lambda c, heads, name: GatedTransformer2D(
-            c, heads, cfg.cross_attention_dim, 1, cfg.norm_num_groups,
-            cfg.use_linear_projection, self.dtype, self.param_dtype, name=name)
+        def resnet(cout, name, sb_name):
+            p = plan.get(sb_name)
+            hidden = hgroups = None
+            if p is not None:
+                keep = p.sites[0]
+                unit = keep.channels // keep.width
+                hidden, hgroups = len(keep.kept) * unit, len(keep.kept)
+            return GatedResnetBlock(cout, cfg.norm_num_groups, cfg.norm_eps,
+                                    hidden, hgroups, self.dtype, self.param_dtype,
+                                    name=name)
+
+        def transformer(c, heads, name, sb_name):
+            p = plan.get(sb_name)
+            h1 = h2 = ffi = None
+            if p is not None:
+                h1 = len(p.site("attn1").kept)
+                h2 = len(p.site("attn2").kept)
+                ff = p.site("ff")
+                if ff is not None:
+                    ffi = len(ff.kept) * (ff.channels // ff.width)
+            return GatedTransformer2D(c, heads, cfg.cross_attention_dim, 1,
+                                      cfg.norm_num_groups, cfg.use_linear_projection,
+                                      h1, h2, ffi, self.dtype, self.param_dtype,
+                                      name=name)
+
+        def is_dropped(sb_name):
+            p = plan.get(sb_name)
+            return p is not None and p.dropped
 
         # --- time embedding ---
         t_emb = timestep_embedding(timesteps, cfg.block_out_channels[0],
@@ -134,13 +166,17 @@ class GatedUNet(nn.Module):
             out_ch = cfg.block_out_channels[i]
             cross = block_type.startswith("CrossAttn")
             for j in range(cfg.layers_per_block):
-                wg, dg = gates.resnet(f"down.{i}.resnet.{j}")
-                h = resnet(out_ch, f"down_blocks_{i}_resnets_{j}")(h, temb, wg, dg)
+                rname = f"down.{i}.resnet.{j}"
+                if not is_dropped(rname):
+                    wg, dg = gates.resnet(rname)
+                    h = resnet(out_ch, f"down_blocks_{i}_resnets_{j}", rname)(h, temb, wg, dg)
                 if cross:
-                    tg, tdg = gates.transformer(f"down.{i}.attn.{j}")
-                    h = transformer(out_ch, cfg.heads_at(i),
-                                    f"down_blocks_{i}_attentions_{j}")(
-                        h, encoder_hidden_states, tg, tdg)
+                    tname = f"down.{i}.attn.{j}"
+                    if not is_dropped(tname):
+                        tg, tdg = gates.transformer(tname)
+                        h = transformer(out_ch, cfg.heads_at(i),
+                                        f"down_blocks_{i}_attentions_{j}", tname)(
+                            h, encoder_hidden_states, tg, tdg)
                 res_stack.append(h)
             if i < L - 1:
                 h = Downsample(out_ch, self.dtype, self.param_dtype,
@@ -151,12 +187,12 @@ class GatedUNet(nn.Module):
         # --- mid ---
         mid_ch = cfg.block_out_channels[-1]
         wg, _ = gates.resnet("mid.resnet.0")
-        h = resnet(mid_ch, "mid_block_resnets_0")(h, temb, wg)
+        h = resnet(mid_ch, "mid_block_resnets_0", "mid.resnet.0")(h, temb, wg)
         tg, _ = gates.transformer("mid.attn.0")
-        h = transformer(mid_ch, cfg.heads_at(L - 1), "mid_block_attentions_0")(
-            h, encoder_hidden_states, tg, None)
+        h = transformer(mid_ch, cfg.heads_at(L - 1), "mid_block_attentions_0",
+                        "mid.attn.0")(h, encoder_hidden_states, tg, None)
         wg, _ = gates.resnet("mid.resnet.1")
-        h = resnet(mid_ch, "mid_block_resnets_1")(h, temb, wg)
+        h = resnet(mid_ch, "mid_block_resnets_1", "mid.resnet.1")(h, temb, wg)
         features["m"] = h
 
         # --- up path ---
@@ -167,15 +203,20 @@ class GatedUNet(nn.Module):
             cross = block_type.startswith("CrossAttn")
             for j in range(cfg.layers_per_block + 1):
                 skip = res_stack.pop()
-                identity = h
-                h = jnp.concatenate([h, skip], axis=-1)
-                wg, dg = gates.resnet(f"up.{i}.resnet.{j}")
-                h = resnet(out_ch, f"up_blocks_{i}_resnets_{j}")(h, temb, wg, dg, identity)
+                rname = f"up.{i}.resnet.{j}"
+                if not is_dropped(rname):
+                    identity = h
+                    h = jnp.concatenate([h, skip], axis=-1)
+                    wg, dg = gates.resnet(rname)
+                    h = resnet(out_ch, f"up_blocks_{i}_resnets_{j}", rname)(
+                        h, temb, wg, dg, identity)
                 if cross:
-                    tg, tdg = gates.transformer(f"up.{i}.attn.{j}")
-                    h = transformer(out_ch, cfg.heads_at(level),
-                                    f"up_blocks_{i}_attentions_{j}")(
-                        h, encoder_hidden_states, tg, tdg)
+                    tname = f"up.{i}.attn.{j}"
+                    if not is_dropped(tname):
+                        tg, tdg = gates.transformer(tname)
+                        h = transformer(out_ch, cfg.heads_at(level),
+                                        f"up_blocks_{i}_attentions_{j}", tname)(
+                            h, encoder_hidden_states, tg, tdg)
             if i < L - 1:
                 h = Upsample(out_ch, self.dtype, self.param_dtype,
                              name=f"up_blocks_{i}_upsamplers_0")(h)

@@ -1,0 +1,141 @@
+"""Routed text-to-image pipeline.
+
+Functional equivalent of the reference's `StableDiffusionPruningPipeline`
+(/root/reference/pdm/pipelines/pruning_pipelines.py): encode prompt → route
+(hypernet → quantizer eval forward: cosine argmax vs the frozen codebook
+snapshot + hard-concrete) → run the CFG denoising loop with the per-prompt
+arch vector fixed for the whole trajectory → decode.
+
+TPU design: the entire trajectory (sampler scan + CFG + gated U-Net) is one
+jitted function; per-prompt architectures ride along as a (B, vq_dim) array
+(no module mutation between steps). Methods mirror the reference surface:
+  __call__            routed generation (+ expert indices, resource ratios)
+  generate_samples    fixed-arch generation (materialised/pruned experts)
+  quantizer_samples   generation from each codebook entry
+  depth_analysis      all-ones arch with chosen depth gates zeroed
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from diffusion_pruning_tpu.core.estimators import hard_concrete
+from diffusion_pruning_tpu.core.resource import ResourceModel
+from diffusion_pruning_tpu.models.hypernet import HyperStructure
+from diffusion_pruning_tpu.models.quantizer import StructureQuantizer
+from diffusion_pruning_tpu.models.text_encoders import CLIPTextEncoder
+from diffusion_pruning_tpu.models.unet.unet import GatedUNet
+from diffusion_pruning_tpu.models.vae import AutoencoderKL
+from diffusion_pruning_tpu.schedulers import DDIMSampler, DiffusionSchedule, PNDMSampler
+
+
+@dataclasses.dataclass
+class PruningPipeline:
+    unet: GatedUNet
+    unet_params: dict
+    vae: AutoencoderKL
+    vae_params: dict
+    text_encoder: CLIPTextEncoder
+    text_params: dict
+    hypernet: Optional[HyperStructure] = None
+    hypernet_params: Optional[dict] = None
+    quantizer: Optional[StructureQuantizer] = None
+    quantizer_params: Optional[dict] = None
+    quantizer_state: Optional[dict] = None
+    schedule: DiffusionSchedule = dataclasses.field(default_factory=DiffusionSchedule)
+    sampler: str = "ddim"
+
+    def _sampler(self):
+        if self.sampler == "pndm":
+            return PNDMSampler(self.schedule)
+        return DDIMSampler(self.schedule)
+
+    # ------------------------------------------------------------------
+
+    def encode_prompt(self, input_ids: jax.Array) -> jax.Array:
+        return self.text_encoder.apply({"params": self.text_params}, input_ids)
+
+    def route(self, prompt_embeds: jax.Array, hyper_net_input: Optional[jax.Array] = None):
+        """Hypernet + quantizer eval routing (pruning_pipelines.py:746-759).
+
+        Returns (arch (B, vq_dim) hard gates, expert indices)."""
+        feats = hyper_net_input if hyper_net_input is not None else prompt_embeds.mean(axis=1)
+        logits = self.hypernet.apply({"params": self.hypernet_params}, feats)
+        arch, indices = self.quantizer.forward_eval(self.quantizer_state, logits)
+        return arch, indices
+
+    def denoise(self, key, prompt_embeds, neg_embeds, arch,
+                num_inference_steps=50, guidance_scale=7.5, height=None, width=None):
+        cfg = self.unet.cfg
+        h = (height or cfg.sample_size * 8) // 8
+        w = (width or cfg.sample_size * 8) // 8
+        b = prompt_embeds.shape[0]
+        latents = jax.random.normal(key, (b, h, w, cfg.in_channels))
+        do_cfg = guidance_scale > 1.0
+        ehs = jnp.concatenate([neg_embeds, prompt_embeds]) if do_cfg else prompt_embeds
+
+        def model_fn(x, t):
+            if do_cfg:
+                x_in = jnp.concatenate([x, x])
+                t_in = jnp.concatenate([t, t])
+                out = self.unet.apply({"params": self.unet_params}, x_in, t_in, ehs, arch=arch)
+                uncond, cond = jnp.split(out, 2)
+                return uncond + guidance_scale * (cond - uncond)
+            return self.unet.apply({"params": self.unet_params}, x, t, ehs, arch=arch)
+
+        return self._sampler().sample(model_fn, latents, num_inference_steps)
+
+    def decode(self, latents: jax.Array) -> jax.Array:
+        """Latents → uint8-range images in [0, 1], NHWC."""
+        img = self.vae.apply({"params": self.vae_params}, latents, method=AutoencoderKL.decode)
+        return jnp.clip(img / 2 + 0.5, 0.0, 1.0)
+
+    # ------------------------------------------------------------------
+
+    def __call__(self, input_ids, neg_input_ids, key,
+                 hyper_net_input=None, num_inference_steps=50, guidance_scale=7.5,
+                 output_type="pil"):
+        """Routed generation. Returns (images, expert_indices, resource_ratios)."""
+        prompt_embeds = self.encode_prompt(input_ids)
+        neg_embeds = self.encode_prompt(neg_input_ids)
+        arch, indices = self.route(prompt_embeds, hyper_net_input)
+        latents = self.denoise(key, prompt_embeds, neg_embeds, arch,
+                               num_inference_steps, guidance_scale)
+        ratios = ResourceModel(self.unet.spec).resource_ratio(arch)
+        images = self.decode(latents) if output_type != "latent" else latents
+        return images, indices, ratios
+
+    def generate_samples(self, input_ids, neg_input_ids, key, arch=None,
+                         num_inference_steps=50, guidance_scale=7.5):
+        """Plain SD loop with a fixed (or absent) architecture — used for
+        materialised experts (pruning_pipelines.py:856-999)."""
+        prompt_embeds = self.encode_prompt(input_ids)
+        neg_embeds = self.encode_prompt(neg_input_ids)
+        latents = self.denoise(key, prompt_embeds, neg_embeds, arch,
+                               num_inference_steps, guidance_scale)
+        return self.decode(latents)
+
+    def quantizer_samples(self, input_ids, neg_input_ids, key, expert_ids: Sequence[int],
+                          num_inference_steps=50, guidance_scale=7.5):
+        """Generate with each requested codebook entry's architecture
+        (pruning_pipelines.py:1232-1448)."""
+        codes = self.quantizer.codebook_gates(self.quantizer_params, key=None, hard=True)
+        arch = codes[jnp.asarray(expert_ids)]
+        prompt_embeds = self.encode_prompt(input_ids)
+        neg_embeds = self.encode_prompt(neg_input_ids)
+        latents = self.denoise(key, prompt_embeds, neg_embeds, arch,
+                               num_inference_steps, guidance_scale)
+        return self.decode(latents)
+
+    def depth_analysis_arch(self, depth_indices: Sequence[int], batch: int = 1) -> jax.Array:
+        """All-ones arch with the given depth gates zeroed
+        (pruning_pipelines.py:1510-1516)."""
+        spec = self.unet.spec
+        arch = jnp.ones((batch, spec.vq_dim))
+        for d in depth_indices:
+            arch = arch.at[:, spec.num_width + d].set(0.0)
+        return arch

@@ -1,0 +1,5 @@
+from diffusion_pruning_tpu.schedulers.ddpm import DiffusionSchedule
+from diffusion_pruning_tpu.schedulers.ddim import DDIMSampler
+from diffusion_pruning_tpu.schedulers.pndm import PNDMSampler
+
+__all__ = ["DiffusionSchedule", "DDIMSampler", "PNDMSampler"]

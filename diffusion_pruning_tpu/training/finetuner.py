@@ -1,0 +1,151 @@
+"""Stage-2 expert fine-tuning + baseline fine-tuners.
+
+Re-implements the reference `FineTuner` (/root/reference/pdm/training/
+trainer.py:1405-1851): materialise one codebook expert as a physically
+pruned U-Net, fine-tune it on the prompts the router assigns to it, with the
+dense SD U-Net as distillation teacher (min-SNR diffusion + output
+distillation + block distillation — trainer.py:1683-1765). Also covers the
+baseline variants (trainer.py:1854-2030): `no-pruning` (dense student),
+`random` (random arch vector), `magnitude` (global magnitude plan), and
+`single-arch` (uni-arch expert).
+
+One jitted SPMD step: teacher fwd (stop-grad) + student fwd/bwd, grads
+pmean'd over the data mesh, AdamW (unet lr, √global-batch scaled).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from diffusion_pruning_tpu.losses import diffusion_loss, snr_weights
+from diffusion_pruning_tpu.models.text_encoders import CLIPTextEncoder
+from diffusion_pruning_tpu.models.unet.unet import GatedUNet
+from diffusion_pruning_tpu.models.vae import AutoencoderKL
+from diffusion_pruning_tpu.parallel.mesh import DATA_AXIS
+from diffusion_pruning_tpu.schedulers import DiffusionSchedule
+
+
+@dataclasses.dataclass(frozen=True)
+class FineTuneConfig:
+    snr_gamma: Optional[float] = 5.0
+    diffusion_weight: float = 1.0
+    distillation_weight: float = 0.2
+    block_weight: float = 0.2
+    unet_lr: float = 1e-5
+    weight_decay: float = 0.0
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    lr_warmup_steps: int = 100
+    scale_lr: bool = True
+    max_grad_norm: Optional[float] = None
+    noise_offset: float = 0.0
+    input_perturbation: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class FineTunerModules:
+    student: GatedUNet            # usually plan-carrying (pruned expert)
+    teacher: GatedUNet            # dense
+    vae: AutoencoderKL
+    text_encoder: CLIPTextEncoder
+    schedule: DiffusionSchedule
+
+
+def make_finetune_optimizer(cfg: FineTuneConfig, global_batch: int):
+    lr = cfg.unet_lr * (global_batch ** 0.5 if cfg.scale_lr else 1.0)
+    sched = optax.join_schedules(
+        [optax.linear_schedule(0.0, lr, cfg.lr_warmup_steps),
+         optax.constant_schedule(lr)],
+        [cfg.lr_warmup_steps])
+    tx = optax.adamw(sched, b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps,
+                     weight_decay=cfg.weight_decay)
+    if cfg.max_grad_norm:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), tx)
+    return tx
+
+
+def _losses(mods: FineTunerModules, cfg: FineTuneConfig,
+            student_params, frozen, batch, key):
+    k_vae, k_noise, k_t, k_off, k_pert = jax.random.split(key, 5)
+    sched = mods.schedule
+    latents = mods.vae.apply({"params": frozen["vae"]}, batch["pixel_values"],
+                             k_vae, method=AutoencoderKL.encode)
+    latents = jax.lax.stop_gradient(latents)
+    ehs = mods.text_encoder.apply({"params": frozen["text"]}, batch["input_ids"])
+    ehs = jax.lax.stop_gradient(ehs)
+
+    b = latents.shape[0]
+    noise = jax.random.normal(k_noise, latents.shape, latents.dtype)
+    if cfg.noise_offset:
+        noise = noise + cfg.noise_offset * jax.random.normal(
+            k_off, (b, 1, 1, latents.shape[-1]), latents.dtype)
+    timesteps = jax.random.randint(k_t, (b,), 0, sched.num_train_timesteps)
+    noise_in = noise
+    if cfg.input_perturbation:
+        noise_in = noise + cfg.input_perturbation * jax.random.normal(
+            k_pert, noise.shape, noise.dtype)
+    noisy = sched.add_noise(latents, noise_in, timesteps)
+
+    teacher_pred, teacher_feats = mods.teacher.apply(
+        {"params": frozen["teacher"]}, noisy, timesteps, ehs, return_features=True)
+    teacher_pred = jax.lax.stop_gradient(teacher_pred)
+    teacher_feats = jax.lax.stop_gradient(teacher_feats)
+
+    student_pred, student_feats = mods.student.apply(
+        {"params": student_params}, noisy, timesteps, ehs, return_features=True)
+
+    target = sched.target(latents, noise, timesteps)
+    w = snr_weights(sched.alphas_cumprod, timesteps, cfg.snr_gamma, sched.prediction_type)
+    d_loss = diffusion_loss(student_pred, target, w)
+    distill = jnp.mean((student_pred.astype(jnp.float32)
+                        - teacher_pred.astype(jnp.float32)) ** 2)
+    block = jnp.mean(jnp.stack([
+        jnp.mean((student_feats[k].astype(jnp.float32)
+                  - teacher_feats[k].astype(jnp.float32)) ** 2)
+        for k in sorted(student_feats)]))
+    total = (cfg.diffusion_weight * d_loss
+             + cfg.distillation_weight * distill
+             + cfg.block_weight * block)
+    return total, {"loss": total, "diffusion_loss": d_loss,
+                   "distillation_loss": distill, "block_loss": block}
+
+
+def make_finetune_step(mods: FineTunerModules, cfg: FineTuneConfig,
+                       optimizer, mesh: Optional[Mesh] = None,
+                       donate: bool = False) -> Callable:
+    axis_name = DATA_AXIS if mesh is not None else None
+
+    def local_step(student_params, frozen, opt_state, batch, key):
+        if axis_name is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+
+        (loss, metrics), grads = jax.value_and_grad(
+            lambda p: _losses(mods, cfg, p, frozen, batch, key), has_aux=True
+        )(student_params)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            metrics = jax.lax.pmean(metrics, axis_name)
+        good = jnp.isfinite(metrics["loss"])
+        grads = jax.tree.map(lambda g: jnp.where(good, g, jnp.zeros_like(g)), grads)
+        updates, new_opt = optimizer.update(grads, opt_state, student_params)
+        new_params = optax.apply_updates(student_params, updates)
+        new_params = jax.tree.map(lambda n, o: jnp.where(good, n, o),
+                                  new_params, student_params)
+        new_opt = jax.tree.map(lambda n, o: jnp.where(good, n, o), new_opt, opt_state)
+        return new_params, new_opt, metrics
+
+    donate_kw = {"donate_argnums": (0, 2)} if donate else {}
+    if mesh is None:
+        return jax.jit(local_step, **donate_kw)
+    step = shard_map(local_step, mesh=mesh,
+                     in_specs=(P(), P(), P(), P(DATA_AXIS), P()),
+                     out_specs=(P(), P(), P()),
+                     check_vma=False)
+    return jax.jit(step, **donate_kw)

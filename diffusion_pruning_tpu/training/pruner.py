@@ -1,0 +1,327 @@
+"""Stage-1 (APTP pruning) train step — one jitted SPMD program.
+
+Re-implements the reference `Pruner.step` (/root/reference/pdm/training/
+trainer.py:1092-1254) as a single pure function shard_mapped over a 1-D
+`data` mesh:
+
+  VAE encode (frozen) → noise/timestep sampling → CLIP text encode (frozen)
+  → hypernet → quantizer (Sinkhorn OT balancing via `lax.psum`)
+  → contrastive loss over the GLOBAL batch (`lax.all_gather`)
+  → teacher U-Net pass (dense gates — same weights, no second model in HBM)
+  → student U-Net pass (per-prompt gates)
+  → min-SNR diffusion + distillation + block-distillation
+    + analytic resource + std/max losses
+  → grads for hypernet+quantizer only (the U-Net is frozen in stage 1, as in
+    the reference — unet_2d_conditional.py:2118-2122 freezes everything and
+    the third optimizer group is empty, trainer.py:827-829)
+  → `lax.pmean` grad sync → AdamW (per-group LRs, √global-batch scaled).
+
+The NaN-batch skip (trainer.py:921-929) is a `jnp.where` gate on the update.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from diffusion_pruning_tpu.core.resource import ResourceModel
+from diffusion_pruning_tpu.losses import contrastive_loss, diffusion_loss, resource_loss, snr_weights
+from diffusion_pruning_tpu.models.hypernet import HyperStructure
+from diffusion_pruning_tpu.models.quantizer import StructureQuantizer
+from diffusion_pruning_tpu.models.text_encoders import CLIPTextEncoder
+from diffusion_pruning_tpu.models.unet.unet import GatedUNet
+from diffusion_pruning_tpu.models.vae import AutoencoderKL
+from diffusion_pruning_tpu.parallel.mesh import DATA_AXIS
+from diffusion_pruning_tpu.schedulers import DiffusionSchedule
+
+
+@dataclasses.dataclass(frozen=True)
+class PrunerConfig:
+    # loss weights (configs/pruning/sd-2-1_coco2014.yaml:82-107)
+    diffusion_weight: float = 1.0
+    snr_gamma: Optional[float] = 5.0
+    resource_weight: float = 2.0
+    resource_type: str = "log"
+    pruning_target: float = 0.6        # in total-MACs space; rescaled below
+    contrastive_weight: float = 100.0
+    arch_temperature: float = 0.03
+    prompt_temperature: float = 0.03
+    distillation_weight: float = 0.2
+    block_weight: float = 0.2
+    std_weight: float = 0.1
+    max_weight: float = 0.1
+    # optim (yaml:110-126)
+    hypernet_lr: float = 2e-4
+    quantizer_lr: float = 2e-4
+    weight_decay: float = 0.0
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    lr_warmup_steps: int = 100
+    scale_lr: bool = True
+    max_grad_norm: Optional[float] = None
+    # schedule options
+    noise_offset: float = 0.0
+    input_perturbation: float = 0.0
+    max_scheduler_steps: Optional[int] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class PrunerModules:
+    unet: GatedUNet
+    vae: AutoencoderKL
+    text_encoder: CLIPTextEncoder
+    hypernet: HyperStructure
+    quantizer: StructureQuantizer
+    schedule: DiffusionSchedule
+
+    @property
+    def resource_model(self) -> ResourceModel:
+        return ResourceModel(self.unet.spec)
+
+
+def make_optimizer(cfg: PrunerConfig, global_batch: int) -> optax.GradientTransformation:
+    scale = (global_batch ** 0.5) if cfg.scale_lr else 1.0
+
+    def sched(lr):
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, lr * scale, cfg.lr_warmup_steps),
+             optax.constant_schedule(lr * scale)],
+            [cfg.lr_warmup_steps],
+        )
+
+    def adamw(lr):
+        tx = optax.adamw(sched(lr), b1=cfg.adam_b1, b2=cfg.adam_b2,
+                         eps=cfg.adam_eps, weight_decay=cfg.weight_decay)
+        if cfg.max_grad_norm:
+            tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), tx)
+        return tx
+
+    return optax.multi_transform(
+        {"hypernet": adamw(cfg.hypernet_lr), "quantizer": adamw(cfg.quantizer_lr)},
+        param_labels={"hypernet": "hypernet", "quantizer": "quantizer"},
+    )
+
+
+def _compute_losses(
+    mods: PrunerModules,
+    cfg: PrunerConfig,
+    trainable: Dict[str, Any],
+    frozen: Dict[str, Any],
+    batch: Dict[str, jax.Array],
+    key: jax.Array,
+    shared_key: jax.Array,
+    pretrain: bool,
+    axis_name: Optional[str],
+    axis_size: int,
+    p_actual: float,
+):
+    """Loss + aux for one local shard. Pure; differentiable in `trainable`.
+
+    `key` is per-device (folded with the axis index); `shared_key` is
+    identical on every device — the quantizer's codebook gumbel noise must be
+    replicated so the embedding_gs snapshot and Sinkhorn scores agree across
+    the mesh (the reference lets DDP ranks drift here; SPMD requires
+    consistency and it is strictly more correct)."""
+    k_vae, k_noise, k_t, k_g, k_off, k_pert = jax.random.split(key, 6)
+    k_q = shared_key
+    sched = mods.schedule
+
+    # frozen encoders
+    latents = mods.vae.apply({"params": frozen["vae"]}, batch["pixel_values"],
+                             k_vae, method=AutoencoderKL.encode)
+    latents = jax.lax.stop_gradient(latents)
+    ehs = mods.text_encoder.apply({"params": frozen["text"]}, batch["input_ids"])
+    ehs = jax.lax.stop_gradient(ehs)
+
+    b = latents.shape[0]
+    noise = jax.random.normal(k_noise, latents.shape, latents.dtype)
+    if cfg.noise_offset:
+        noise = noise + cfg.noise_offset * jax.random.normal(
+            k_off, (b, 1, 1, latents.shape[-1]), latents.dtype)
+    max_t = cfg.max_scheduler_steps or sched.num_train_timesteps
+    timesteps = jax.random.randint(k_t, (b,), 0, max_t)
+    noise_for_q = noise
+    if cfg.input_perturbation:
+        noise_for_q = noise + cfg.input_perturbation * jax.random.normal(
+            k_pert, noise.shape, noise.dtype)
+    noisy = sched.add_noise(latents, noise_for_q, timesteps)
+
+    # router
+    text_emb = batch["mpnet_embeddings"]
+    logits = mods.hypernet.apply({"params": trainable["hypernet"]}, text_emb)
+    z_q, indices, q_state = mods.quantizer.forward_train(
+        trainable["quantizer"], logits, k_q, axis_name=axis_name, axis_size=axis_size)
+    gates = mods.quantizer.gumbel_sigmoid_trick(logits, k_g)
+    if mods.hypernet.single_arch_param:
+        gates = jnp.tile(gates, (text_emb.shape[0], 1))
+    gates_norm = mods.quantizer.width_depth_normalize(gates)
+
+    # global-batch contrastive (trainer.py:1147-1170); lax.all_gather is
+    # differentiable, so pmean'd grads equal the reference's DDP semantics
+    if axis_name is not None:
+        text_all = jax.lax.all_gather(text_emb, axis_name).reshape(-1, text_emb.shape[-1])
+        arch_all = jax.lax.all_gather(gates_norm, axis_name).reshape(-1, gates_norm.shape[-1])
+    else:
+        text_all, arch_all = text_emb, gates_norm
+    c_loss, arch_sim = contrastive_loss(text_all, arch_all,
+                                        cfg.prompt_temperature, cfg.arch_temperature)
+
+    arch_used = gates if pretrain else z_q
+
+    # teacher (dense) + student passes — same weights resident once in HBM
+    teacher_pred, teacher_feats = mods.unet.apply(
+        {"params": frozen["unet"]}, noisy, timesteps, ehs, arch=None, return_features=True)
+    teacher_pred = jax.lax.stop_gradient(teacher_pred)
+    teacher_feats = jax.lax.stop_gradient(teacher_feats)
+    student_pred, student_feats = mods.unet.apply(
+        {"params": frozen["unet"]}, noisy, timesteps, ehs, arch=arch_used,
+        return_features=True)
+
+    target = sched.target(latents, noise, timesteps)
+    w = snr_weights(sched.alphas_cumprod, timesteps, cfg.snr_gamma, sched.prediction_type)
+    d_loss = diffusion_loss(student_pred, target, w)
+    distill = jnp.mean((student_pred.astype(jnp.float32) - teacher_pred.astype(jnp.float32)) ** 2)
+    block = jnp.mean(jnp.stack([
+        jnp.mean((student_feats[k].astype(jnp.float32)
+                  - teacher_feats[k].astype(jnp.float32)) ** 2)
+        for k in sorted(student_feats)]))
+
+    # local-batch resource statistics (per-rank in the reference too —
+    # trainer.py:1232-1248 — DDP then averages the gradients, which pmean
+    # reproduces exactly)
+    rm = mods.resource_model
+    ratios = rm.resource_ratio(arch_used)
+    mean_ratio = ratios.mean()
+    r_loss = resource_loss(mean_ratio, p_actual, cfg.resource_type)
+    max_loss = 1.0 - jnp.max(ratios)
+    std_loss = -jnp.std(ratios)
+
+    total = (cfg.diffusion_weight * d_loss
+             + cfg.resource_weight * r_loss
+             + cfg.contrastive_weight * c_loss
+             + cfg.distillation_weight * distill
+             + cfg.block_weight * block
+             + cfg.std_weight * std_loss
+             + cfg.max_weight * max_loss)
+
+    aux = {
+        "loss": total,
+        "diffusion_loss": d_loss,
+        "distillation_loss": distill,
+        "block_loss": block,
+        "contrastive_loss": c_loss,
+        "resource_loss": r_loss,
+        "resource_ratio": mean_ratio,
+        "batch_resource_ratios": ratios,
+        "expert_indices": indices,
+        "q_state": q_state,
+        "arch_similarity": arch_sim,
+    }
+    return total, aux
+
+
+def make_pruner_step(
+    mods: PrunerModules,
+    cfg: PrunerConfig,
+    optimizer: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+    pretrain: bool = False,
+    donate: bool = False,
+) -> Callable:
+    """Build the jitted train step.
+
+    step(trainable, frozen, opt_state, batch, key)
+      -> (trainable, opt_state, q_state, metrics)
+
+    With a mesh, the batch is consumed sharded on the data axis and all
+    collectives (Sinkhorn psum, contrastive all_gather, grad pmean) run over
+    ICI inside the one compiled program.
+    """
+    p_actual = mods.resource_model.actual_pruning_target(cfg.pruning_target)
+    axis_name = DATA_AXIS if mesh is not None else None
+    axis_size = mesh.shape[DATA_AXIS] if mesh is not None else 1
+
+    def local_step(trainable, frozen, opt_state, batch, key):
+        shared_key = jax.random.fold_in(key, 7)
+        if axis_name is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+
+        def loss_fn(tr):
+            return _compute_losses(mods, cfg, tr, frozen, batch, key, shared_key,
+                                   pretrain, axis_name, axis_size, p_actual)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+
+        # NaN-batch skip (trainer.py:921-929): zero the update, keep state
+        good = jnp.isfinite(loss)
+        grads = jax.tree.map(lambda g: jnp.where(good, g, jnp.zeros_like(g)), grads)
+        updates, new_opt_state = optimizer.update(grads, opt_state, trainable)
+        new_trainable = optax.apply_updates(trainable, updates)
+        new_trainable = jax.tree.map(
+            lambda new, old: jnp.where(good, new, old), new_trainable, trainable)
+        new_opt_state = jax.tree.map(
+            lambda new, old: jnp.where(good, new, old), new_opt_state, opt_state)
+
+        metrics = {k: v for k, v in aux.items()
+                   if k not in ("q_state", "batch_resource_ratios",
+                                "expert_indices", "arch_similarity")}
+        if axis_name is not None:
+            metrics = jax.lax.pmean(metrics, axis_name)
+        out_aux = {
+            "batch_resource_ratios": aux["batch_resource_ratios"],
+            "expert_indices": aux["expert_indices"],
+        }
+        return new_trainable, new_opt_state, aux["q_state"], metrics, out_aux
+
+    donate_kw = {"donate_argnums": (0, 2)} if donate else {}
+    if mesh is None:
+        return jax.jit(local_step, **donate_kw)
+
+    rep = P()
+    step = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(rep, rep, rep, P(DATA_AXIS), rep),
+        out_specs=(rep, rep, rep, rep, P(DATA_AXIS)),
+        check_vma=False,
+    )
+    return jax.jit(step, **donate_kw)
+
+
+def make_validation_step(mods: PrunerModules, cfg: PrunerConfig,
+                         mesh: Optional[Mesh] = None, pretrain: bool = False) -> Callable:
+    """Loss-only step for the held-out split, metrics pmean'd across the mesh
+    (trainer.py:1026-1090)."""
+    p_actual = mods.resource_model.actual_pruning_target(cfg.pruning_target)
+    axis_name = DATA_AXIS if mesh is not None else None
+    axis_size = mesh.shape[DATA_AXIS] if mesh is not None else 1
+
+    def local_val(trainable, frozen, batch, key):
+        shared_key = jax.random.fold_in(key, 7)
+        if axis_name is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        _, aux = _compute_losses(mods, cfg, trainable, frozen, batch, key, shared_key,
+                                 pretrain, axis_name, axis_size, p_actual)
+        metrics = {k: v for k, v in aux.items()
+                   if k not in ("q_state", "batch_resource_ratios",
+                                "expert_indices", "arch_similarity")}
+        if axis_name is not None:
+            metrics = jax.lax.pmean(metrics, axis_name)
+        return metrics
+
+    if mesh is None:
+        return jax.jit(local_val)
+    return jax.jit(shard_map(
+        local_val, mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS), P()),
+        out_specs=P(),
+        check_vma=False,
+    ))

@@ -3,19 +3,23 @@
 The reference repo has no test suite (SURVEY.md §4); multi-device behaviour
 there was only exercised on real clusters. Here every collective code path is
 tested on a virtual 8-device CPU mesh, JAX's standard fake-backend mechanism.
-Must run before `import jax`.
+
+Uses jax.config.update (not env vars) so it works even if a pytest plugin
+imported jax before this conftest ran — config is mutable until the backend
+is first initialised.
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
-# Persistent compilation cache: repeated test runs skip XLA recompiles.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+import jax
 
-import jax  # noqa: E402
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+# Persistent compilation cache: repeated test runs skip XLA recompiles
+# (essential on low-core CI hosts where CPU compiles dominate runtime).
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import pytest  # noqa: E402
 

@@ -15,11 +15,15 @@ def test_sinkhorn_rows_sum_to_one():
 
 
 def test_sinkhorn_balances_assignments():
-    # strongly-clustered scores: without OT everything goes to one code;
-    # with enough iterations the assignment is near-balanced.
+    # cosine-scale clustered scores: without OT everything goes to one code;
+    # with enough iterations the assignment is near-balanced. (Scores are
+    # cosine similarities in [-1, 1] in the quantizer, so a 0.3 preference
+    # gap is already a strong cluster at epsilon=0.05.)
     key = jax.random.PRNGKey(1)
     scores = jax.random.normal(key, (256, 8)) * 0.01
-    scores = scores.at[:, 0].add(5.0)  # all samples prefer code 0
+    scores = scores.at[:, 0].add(0.3)  # all samples prefer code 0
+    greedy = np.bincount(np.asarray(jnp.argmax(scores, axis=1)), minlength=8)
+    assert greedy[0] == 256  # sanity: cosine argmax collapses
     idx = sinkhorn_assign(scores, epsilon=0.05, iterations=30)
     counts = np.bincount(np.asarray(idx), minlength=8)
     assert counts.max() <= 2 * 256 // 8, counts

@@ -55,10 +55,11 @@ def test_sd21_structure_layout():
 
 
 def test_sd21_macs_sanity():
-    """SD-2.1 U-Net at 256px is ≈ 170-190 GMACs; most of it prunable."""
+    """SD-2.1 U-Net at 256px (32² latents) is ≈ 90-95 GMACs (the 512px
+    figure of ~340 GMACs scales by spatial area); most of it prunable."""
     spec = build_structure(UNetConfig.sd21())
     total = spec.total_macs
-    assert 1.2e11 < total < 2.5e11, total
+    assert 0.6e11 < total < 1.5e11, total
     assert 0.55 < spec.prunable_macs / total < 0.95
     assert spec.prunable_macs < spec.cur_prunable_macs_dense < total
 
