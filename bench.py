@@ -17,10 +17,21 @@ placeholder until the A100 recipe is measured.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+# persistent compile cache: the driver re-runs this every round
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _log(msg):
+    print(f"# bench: {msg}", file=sys.stderr, flush=True)
 
 A100_BASELINE_IMG_PER_SEC = 1.0  # placeholder; see BASELINE.md
 
@@ -38,7 +49,12 @@ def main():
     cfg = UNetConfig.sd21(resolution=RES)
     spec = build_structure(cfg)
     model = GatedUNet(cfg, dtype=jnp.bfloat16)
-    params = model.init_params(jax.random.PRNGKey(0), batch=1)
+    _log("initialising SD-2.1 U-Net params (host-side, no init compile)")
+    from diffusion_pruning_tpu.utils.init_utils import random_params_like, shape_tree
+    params = random_params_like(shape_tree(
+        lambda: model.init_params(jax.random.PRNGKey(0), batch=1)))
+    jax.block_until_ready(params)
+    _log("params ready")
 
     ehs = jax.random.normal(jax.random.PRNGKey(1),
                             (2 * BATCH, cfg.max_text_len, cfg.cross_attention_dim),
@@ -52,26 +68,34 @@ def main():
     sampler = DDIMSampler(schedule)
     guidance = 7.5
 
-    def model_fn(x, t):
-        x_in = jnp.concatenate([x, x])
-        t_in = jnp.concatenate([t, t])
-        out = model.apply({"params": params}, x_in, t_in, ehs, arch=arch)
-        uncond, cond = jnp.split(out, 2)
-        return uncond + guidance * (cond - uncond)
-
+    # params/ehs/arch are explicit jit arguments: closure capture would bake
+    # them into the HLO as multi-GB constants (fatal over remote compile)
     @jax.jit
-    def generate(key):
+    def generate(p, ehs_in, arch_in, key):
+        def model_fn(x, t):
+            x_in = jnp.concatenate([x, x])
+            t_in = jnp.concatenate([t, t])
+            out = model.apply({"params": p}, x_in, t_in, ehs_in, arch=arch_in)
+            uncond, cond = jnp.split(out, 2)
+            return uncond + guidance * (cond - uncond)
+
         latents = jax.random.normal(
             key, (BATCH, cfg.sample_size, cfg.sample_size, cfg.in_channels), jnp.bfloat16)
-        return sampler.sample(model_fn, latents, STEPS)
+        out = sampler.sample(model_fn, latents, STEPS)
+        # scalar summary: the timing loop fetches it to the host, forcing true
+        # completion (block_until_ready is unreliable over remote runtimes)
+        return jnp.sum(out.astype(jnp.float32))
 
     # compile + warmup
-    generate(jax.random.PRNGKey(3)).block_until_ready()
+    _log("compiling + warmup generate()")
+    t0 = time.perf_counter()
+    float(generate(params, ehs, arch, jax.random.PRNGKey(3)))
+    _log(f"compile+warmup took {time.perf_counter() - t0:.1f}s")
 
     n_iters = 3
     t0 = time.perf_counter()
     for i in range(n_iters):
-        generate(jax.random.PRNGKey(10 + i)).block_until_ready()
+        float(generate(params, ehs, arch, jax.random.PRNGKey(10 + i)))
     dt = (time.perf_counter() - t0) / n_iters
 
     img_per_sec = BATCH / dt

@@ -32,6 +32,7 @@ class GatedAttention(nn.Module):
     heads: int
     context_dim: Optional[int] = None  # None = self-attention
     active_heads: Optional[int] = None
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -53,12 +54,18 @@ class GatedAttention(nn.Module):
         k = k.reshape(b, ctx.shape[1], heads, head_dim)
         v = v.reshape(b, ctx.shape[1], heads, head_dim)
 
-        if gate is not None:
-            q = head_gate(q, gate)
-            k = head_gate(k, gate)
-            v = head_gate(v, gate)
-
-        o = jax.nn.dot_product_attention(q, k, v)
+        if self.use_flash:
+            # head gate folded into the Pallas kernel (logits·g², out·g)
+            from diffusion_pruning_tpu.ops.flash_attention import flash_attention
+            from diffusion_pruning_tpu.ops.gates import match_batch
+            g = match_batch(gate, b) if gate is not None else None
+            o = flash_attention(q, k, v, gate=g)
+        else:
+            if gate is not None:
+                q = head_gate(q, gate)
+                k = head_gate(k, gate)
+                v = head_gate(v, gate)
+            o = jax.nn.dot_product_attention(q, k, v)
         o = o.reshape(b, s, inner)
         return nn.Dense(self.dim, use_bias=True, dtype=self.dtype,
                         param_dtype=self.param_dtype, name="to_out_0")(o)
@@ -110,6 +117,7 @@ class GatedTransformerBlock(nn.Module):
     active_heads1: Optional[int] = None
     active_heads2: Optional[int] = None
     active_ff_inner: Optional[int] = None
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -118,10 +126,10 @@ class GatedTransformerBlock(nn.Module):
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                        param_dtype=self.param_dtype, name=name)
         x = x + GatedAttention(self.dim, self.heads, None, self.active_heads1,
-                               self.dtype, self.param_dtype,
+                               self.use_flash, self.dtype, self.param_dtype,
                                name="attn1")(ln("norm1")(x), None, gate_attn1)
         x = x + GatedAttention(self.dim, self.heads, self.context_dim, self.active_heads2,
-                               self.dtype, self.param_dtype,
+                               self.use_flash, self.dtype, self.param_dtype,
                                name="attn2")(ln("norm2")(x), context, gate_attn2)
         x = x + GatedFeedForward(self.dim, active_inner=self.active_ff_inner,
                                  dtype=self.dtype, param_dtype=self.param_dtype,

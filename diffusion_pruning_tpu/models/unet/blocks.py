@@ -95,6 +95,7 @@ class GatedTransformer2D(nn.Module):
     active_heads1: Optional[int] = None
     active_heads2: Optional[int] = None
     active_ff_inner: Optional[int] = None
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -117,7 +118,7 @@ class GatedTransformer2D(nn.Module):
             g1, g2, gf = gates[i] if gates is not None else (None, None, None)
             y = GatedTransformerBlock(self.channels, self.heads, self.context_dim,
                                       self.active_heads1, self.active_heads2,
-                                      self.active_ff_inner,
+                                      self.active_ff_inner, self.use_flash,
                                       self.dtype, self.param_dtype,
                                       name=f"transformer_blocks_{i}")(y, context, g1, g2, gf)
         if self.use_linear_projection:

@@ -70,6 +70,9 @@ class UNetConfig:
     gated_ff: bool = True
     ff_gate_width: int = 32
     ff_mult: int = 4
+    # TPU: route attention through the Pallas flash kernel with the head
+    # gate folded in (ops/flash_attention.py); False = XLA SDPA + masking
+    use_flash_attention: bool = False
 
     @property
     def num_levels(self) -> int:

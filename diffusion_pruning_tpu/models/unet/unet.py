@@ -138,7 +138,8 @@ class GatedUNet(nn.Module):
                     ffi = len(ff.kept) * (ff.channels // ff.width)
             return GatedTransformer2D(c, heads, cfg.cross_attention_dim, 1,
                                       cfg.norm_num_groups, cfg.use_linear_projection,
-                                      h1, h2, ffi, self.dtype, self.param_dtype,
+                                      h1, h2, ffi, cfg.use_flash_attention,
+                                      self.dtype, self.param_dtype,
                                       name=name)
 
         def is_dropped(sb_name):

@@ -1,0 +1,98 @@
+"""Pallas TPU flash attention with fused per-head gates.
+
+The reference masks q, k, v tensors per head before SDPA
+(HeadGatedAttnProcessor2, /root/reference/pdm/models/unet/blocks.py:250-255)
+— three extra HBM-round-trip elementwise multiplies. Here the gate folds
+into the kernel: with gate g per (batch, head),
+
+    masked SDPA(q·g, k·g, v·g) == softmax((q·kᵀ)·scale·g²) @ v · g
+
+so the kernel scales the logits by g² and the output by g — zero extra
+memory traffic, exact same math (soft or hard gates).
+
+Shapes are SD-sized (S_q ≤ 4096, head_dim 64, S_kv = S_q or 77): k/v for one
+(batch, head) fit VMEM, so the kernel is a single-pass softmax over the full
+kv extent with a grid over (batch·heads, q-blocks). f32 accumulation on the
+MXU (`preferred_element_type`), bf16 in/out.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, *, scale: float, gated: bool):
+    # q: (blk_q, d); k/v: (s_kv, d); g: (1, 1) in SMEM; o: (blk_q, d)
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s * scale
+    if gated:
+        g = g_ref[0, 0].astype(jnp.float32)
+        s = s * (g * g)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o = o / denom
+    if gated:
+        o = o * g_ref[0, 0].astype(jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def flash_attention(
+    q: jax.Array,                     # (B, S_q, H, D)
+    k: jax.Array,                     # (B, S_kv, H, D)
+    v: jax.Array,                     # (B, S_kv, H, D)
+    gate: Optional[jax.Array] = None,  # (B, H) per-head gates
+    block_q: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    b, s_q, h, d = q.shape
+    s_kv = k.shape[1]
+    scale = 1.0 / (d ** 0.5)
+    gated = gate is not None
+
+    # (B, S, H, D) -> (B*H, S, D)
+    def bh(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
+
+    qf, kf, vf = bh(q), bh(k), bh(v)
+    blk = min(block_q, s_q)
+    grid = (b * h, pl.cdiv(s_q, blk))
+
+    in_specs = [
+        pl.BlockSpec((1, blk, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, s_kv, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, s_kv, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [qf, kf, vf]
+    if gated:
+        # (B, H) row-major flatten matches the (B*H, ...) layout above
+        gf = gate.astype(jnp.float32).reshape(b * h, 1)
+        in_specs.append(pl.BlockSpec((1, 1), lambda i, j: (i, 0),
+                                     memory_space=pltpu.SMEM))
+        args.append(gf)
+    else:
+        in_specs.append(pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        args.append(jnp.ones((1, 1), jnp.float32))
+
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale, gated=gated),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, blk, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, s_q, d), q.dtype),
+        interpret=interpret,
+    )(*args)
+    return out.reshape(b, h, s_q, d).transpose(0, 2, 1, 3)

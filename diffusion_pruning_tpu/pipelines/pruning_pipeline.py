@@ -68,6 +68,37 @@ class PruningPipeline:
         arch, indices = self.quantizer.forward_eval(self.quantizer_state, logits)
         return arch, indices
 
+    def _denoise_fn(self, num_inference_steps: int, guidance_scale: float, gated: bool):
+        """Jitted CFG denoising trajectory, cached per (steps, scale, gated).
+
+        Params/embeddings/arch are jit ARGUMENTS — closure capture would bake
+        multi-GB weights into the HLO as constants."""
+        cache = getattr(self, "_denoise_cache", None)
+        if cache is None:
+            cache = self._denoise_cache = {}
+        cache_key = (num_inference_steps, guidance_scale, gated, self.sampler)
+        if cache_key in cache:
+            return cache[cache_key]
+        sampler = self._sampler()
+        do_cfg = guidance_scale > 1.0
+        unet = self.unet
+
+        @jax.jit
+        def run(unet_params, ehs, arch, latents):
+            def model_fn(x, t):
+                if do_cfg:
+                    x_in = jnp.concatenate([x, x])
+                    t_in = jnp.concatenate([t, t])
+                    out = unet.apply({"params": unet_params}, x_in, t_in, ehs, arch=arch)
+                    uncond, cond = jnp.split(out, 2)
+                    return uncond + guidance_scale * (cond - uncond)
+                return unet.apply({"params": unet_params}, x, t, ehs, arch=arch)
+
+            return sampler.sample(model_fn, latents, num_inference_steps)
+
+        cache[cache_key] = run
+        return run
+
     def denoise(self, key, prompt_embeds, neg_embeds, arch,
                 num_inference_steps=50, guidance_scale=7.5, height=None, width=None):
         cfg = self.unet.cfg
@@ -77,17 +108,8 @@ class PruningPipeline:
         latents = jax.random.normal(key, (b, h, w, cfg.in_channels))
         do_cfg = guidance_scale > 1.0
         ehs = jnp.concatenate([neg_embeds, prompt_embeds]) if do_cfg else prompt_embeds
-
-        def model_fn(x, t):
-            if do_cfg:
-                x_in = jnp.concatenate([x, x])
-                t_in = jnp.concatenate([t, t])
-                out = self.unet.apply({"params": self.unet_params}, x_in, t_in, ehs, arch=arch)
-                uncond, cond = jnp.split(out, 2)
-                return uncond + guidance_scale * (cond - uncond)
-            return self.unet.apply({"params": self.unet_params}, x, t, ehs, arch=arch)
-
-        return self._sampler().sample(model_fn, latents, num_inference_steps)
+        run = self._denoise_fn(num_inference_steps, guidance_scale, arch is not None)
+        return run(self.unet_params, ehs, arch, latents)
 
     def decode(self, latents: jax.Array) -> jax.Array:
         """Latents → uint8-range images in [0, 1], NHWC."""

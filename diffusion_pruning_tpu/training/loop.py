@@ -1,0 +1,211 @@
+"""Training orchestration: the loop around the jitted steps.
+
+The reference `Pruner.train` (trainer.py:852-1024) / `FineTuner.train`
+(:1559-1681) lifecycle, host-side: epoch iteration, the hypernet-pretraining
+phase switch, NaN-skip accounting, periodic validation, checkpoint save /
+rotation / resume (reference-compatible artifact layout), metric tracking.
+The device work is entirely inside the jitted step functions
+(training/pruner.py, training/finetuner.py); this file never traces.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import numpy as np
+import jax
+
+from diffusion_pruning_tpu.utils.checkpoint import CheckpointManager
+from diffusion_pruning_tpu.utils.logging_utils import Tracker
+
+logger = logging.getLogger("diffusion_pruning_tpu")
+
+
+@dataclasses.dataclass
+class LoopConfig:
+    max_train_steps: int = 5000
+    hypernet_pretraining_steps: int = 500
+    validation_steps: int = 1000
+    checkpoint_steps: Optional[int] = None   # None = per epoch
+    checkpoints_total_limit: int = 1
+    log_every: int = 10
+    resume_from: Optional[str] = None        # 'latest' or a step number
+
+
+class PrunerLoop:
+    """Stage-1 loop. Step functions are built lazily per phase (pretrain vs
+    quantized) — the only retrace boundary in the run."""
+
+    def __init__(self, mods, cfg, loop_cfg: LoopConfig, optimizer,
+                 make_step: Callable, make_val: Callable,
+                 trainable, frozen, run_dir: str, mesh=None,
+                 tracker: Optional[Tracker] = None, seed: int = 43):
+        self.mods, self.cfg, self.loop_cfg = mods, cfg, loop_cfg
+        self.optimizer = optimizer
+        self.mesh = mesh
+        self.trainable, self.frozen = trainable, frozen
+        self.opt_state = optimizer.init(trainable)
+        self.q_state = mods.quantizer.init_state(trainable["quantizer"])
+        self.step_fns = {
+            True: make_step(mods, cfg, optimizer, mesh=mesh, pretrain=True, donate=True),
+            False: make_step(mods, cfg, optimizer, mesh=mesh, pretrain=False, donate=True),
+        }
+        self.val_fn = make_val(mods, cfg, mesh=mesh)
+        self.ckpt = CheckpointManager(run_dir, loop_cfg.checkpoints_total_limit)
+        self.tracker = tracker or Tracker(run_dir)
+        self.global_step = 0
+        self.key = jax.random.PRNGKey(seed)
+
+    # ------------------------------------------------------------------
+
+    def state_dict(self) -> Dict[str, Any]:
+        return {"trainable": self.trainable, "opt_state": self.opt_state,
+                "q_state": self.q_state, "step": np.asarray(self.global_step)}
+
+    def save_checkpoint(self):
+        artifacts = {
+            "quantizer_embeddings.pt": np.asarray(
+                self.mods.quantizer.codebook_gates(self.trainable["quantizer"],
+                                                   key=None, hard=True)),
+        }
+        path = self.ckpt.save(self.global_step, self.state_dict(), artifacts)
+        logger.info("saved checkpoint %s", path)
+
+    def maybe_resume(self):
+        if self.loop_cfg.resume_from is None:
+            return
+        step = None if self.loop_cfg.resume_from == "latest" else int(self.loop_cfg.resume_from)
+        restored = self.ckpt.restore(step, template=self.state_dict())
+        self.trainable = restored["trainable"]
+        self.opt_state = restored["opt_state"]
+        self.q_state = restored["q_state"]
+        self.global_step = int(restored["step"])
+        logger.info("resumed from step %d", self.global_step)
+
+    # ------------------------------------------------------------------
+
+    def train(self, train_batches: Callable[[int], Iterable[Dict[str, np.ndarray]]],
+              val_batches: Optional[Callable[[], Iterable]] = None,
+              place_batch: Optional[Callable] = None):
+        """train_batches(epoch) yields host batches; place_batch shards them
+        onto the mesh (parallel.shard_batch) when running SPMD."""
+        lc = self.loop_cfg
+        self.maybe_resume()
+        epoch = 0
+        t_last = time.perf_counter()
+        while self.global_step < lc.max_train_steps:
+            for batch in train_batches(epoch):
+                if self.global_step >= lc.max_train_steps:
+                    break
+                pretrain = self.global_step < lc.hypernet_pretraining_steps
+                if place_batch is not None:
+                    batch = place_batch(batch)
+                batch = {k: v for k, v in batch.items()
+                         if k in ("pixel_values", "input_ids", "mpnet_embeddings")}
+                self.key, sub = jax.random.split(self.key)
+                (self.trainable, self.opt_state, self.q_state,
+                 metrics, aux) = self.step_fns[pretrain](
+                    self.trainable, self.frozen, self.opt_state, batch, sub)
+                self.global_step += 1
+
+                if self.global_step % lc.log_every == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    now = time.perf_counter()
+                    m["steps_per_sec"] = lc.log_every / (now - t_last)
+                    t_last = now
+                    self.tracker.log(m, self.global_step)
+                    logger.info("step %d loss %.4f ratio %.3f (%.2f it/s)",
+                                self.global_step, m["loss"], m["resource_ratio"],
+                                m["steps_per_sec"])
+
+                if val_batches is not None and self.global_step % lc.validation_steps == 0:
+                    self.validate(val_batches, place_batch)
+                if lc.checkpoint_steps and self.global_step % lc.checkpoint_steps == 0:
+                    self.save_checkpoint()
+            epoch += 1
+            if not lc.checkpoint_steps:
+                self.save_checkpoint()
+        self.save_checkpoint()
+
+    def validate(self, val_batches, place_batch=None):
+        agg: Dict[str, list] = {}
+        for batch in val_batches():
+            if place_batch is not None:
+                batch = place_batch(batch)
+            batch = {k: v for k, v in batch.items()
+                     if k in ("pixel_values", "input_ids", "mpnet_embeddings")}
+            self.key, sub = jax.random.split(self.key)
+            m = self.val_fn(self.trainable, self.frozen, batch, sub)
+            for k, v in m.items():
+                agg.setdefault(k, []).append(float(v))
+        means = {f"val_{k}": float(np.mean(v)) for k, v in agg.items()}
+        self.tracker.log(means, self.global_step)
+        logger.info("validation @%d: %s", self.global_step,
+                    {k: round(v, 4) for k, v in means.items()})
+        return means
+
+
+class FineTuneLoop:
+    """Stage-2 loop (expert or baseline fine-tuning)."""
+
+    def __init__(self, step_fn, val_fn, student_params, frozen, optimizer,
+                 loop_cfg: LoopConfig, run_dir: str,
+                 arch_vector: Optional[np.ndarray] = None,
+                 tracker: Optional[Tracker] = None, seed: int = 43):
+        self.step_fn, self.val_fn = step_fn, val_fn
+        self.params, self.frozen = student_params, frozen
+        self.opt_state = optimizer.init(student_params)
+        self.loop_cfg = loop_cfg
+        self.ckpt = CheckpointManager(run_dir, loop_cfg.checkpoints_total_limit)
+        self.tracker = tracker or Tracker(run_dir)
+        self.arch_vector = arch_vector
+        self.global_step = 0
+        self.key = jax.random.PRNGKey(seed)
+
+    def save_checkpoint(self):
+        artifacts = {}
+        if self.arch_vector is not None:
+            # fine-tuning copies arch_vector.pt beside every checkpoint
+            # (trainer.py:1656-1661)
+            artifacts["arch_vector.pt"] = np.asarray(self.arch_vector)
+        self.ckpt.save(self.global_step,
+                       {"params": self.params, "opt_state": self.opt_state,
+                        "step": np.asarray(self.global_step)},
+                       artifacts)
+
+    def maybe_resume(self):
+        if self.loop_cfg.resume_from is None:
+            return
+        step = None if self.loop_cfg.resume_from == "latest" else int(self.loop_cfg.resume_from)
+        restored = self.ckpt.restore(step, template={
+            "params": self.params, "opt_state": self.opt_state,
+            "step": np.asarray(self.global_step)})
+        self.params = restored["params"]
+        self.opt_state = restored["opt_state"]
+        self.global_step = int(restored["step"])
+
+    def train(self, train_batches, place_batch=None):
+        lc = self.loop_cfg
+        self.maybe_resume()
+        epoch = 0
+        while self.global_step < lc.max_train_steps:
+            for batch in train_batches(epoch):
+                if self.global_step >= lc.max_train_steps:
+                    break
+                if place_batch is not None:
+                    batch = place_batch(batch)
+                batch = {k: v for k, v in batch.items()
+                         if k in ("pixel_values", "input_ids")}
+                self.key, sub = jax.random.split(self.key)
+                self.params, self.opt_state, metrics = self.step_fn(
+                    self.params, self.frozen, self.opt_state, batch, sub)
+                self.global_step += 1
+                if self.global_step % lc.log_every == 0:
+                    self.tracker.log({k: float(v) for k, v in metrics.items()},
+                                     self.global_step)
+            epoch += 1
+            if not lc.checkpoint_steps:
+                self.save_checkpoint()
+        self.save_checkpoint()

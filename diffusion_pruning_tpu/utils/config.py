@@ -18,6 +18,12 @@ import yaml
 class Config(dict):
     """dict with recursive attribute access: cfg.model.unet.resolution."""
 
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        for k, v in list(self.items()):
+            if not isinstance(v, Config):
+                super().__setitem__(k, _wrap(v))
+
     def __getattr__(self, name: str) -> Any:
         try:
             v = self[name]

@@ -1,0 +1,145 @@
+"""Stage-2 (expert fine-tuning) entry point.
+
+Equivalent of /root/reference/scripts/aptp/finetune.py: pick codebook row
+`--expert_id` from the stage-1 checkpoint's `quantizer_embeddings.pt`,
+materialise the physically pruned expert (pretrained weight slices — an
+improvement over the reference's prune-then-load quirk, SURVEY §2.1), and
+fine-tune it with the dense U-Net as distillation teacher on the expert's
+prompt subset.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from diffusion_pruning_tpu.utils.arg_utils import parse_args
+    args = parse_args()
+    assert args.pruning_ckpt_dir and args.expert_id is not None, \
+        "--pruning_ckpt_dir and --expert_id are required"
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(args.jax_cache_dir))
+
+    from diffusion_pruning_tpu.core import build_structure
+    from diffusion_pruning_tpu.models.unet.pruned import (
+        expert_macs_ratio, make_expert_plan, slice_expert_params,
+    )
+    from diffusion_pruning_tpu.models.unet.unet import GatedUNet
+    from diffusion_pruning_tpu.parallel import data_mesh, shard_batch
+    from diffusion_pruning_tpu.training.factory import (
+        build_schedule, build_text_encoder, build_unet, build_vae, unet_config_from_yaml,
+    )
+    from diffusion_pruning_tpu.training.finetuner import (
+        FineTuneConfig, FineTunerModules, make_finetune_optimizer, make_finetune_step,
+    )
+    from diffusion_pruning_tpu.training.loop import FineTuneLoop, LoopConfig
+    from diffusion_pruning_tpu.utils.checkpoint import load_torch_artifact
+    from diffusion_pruning_tpu.utils.config import load_config
+    from diffusion_pruning_tpu.utils.logging_utils import init_logging, make_run_dir
+
+    cfg = load_config(args.base_config_path)
+    cfg.update_flat(vars(args))
+    run_dir = make_run_dir(cfg.training.logging.get("logging_dir", "runs"),
+                           args.base_config_path,
+                           (args.wandb_run_name or "") + f"-expert{args.expert_id}")
+    init_logging(run_dir)
+
+    sd_root = args.pretrained_model_name_or_path
+    tiny = not os.path.exists(os.path.join(sd_root or "", "unet"))
+    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    ucfg = unet_config_from_yaml(cfg, tiny=tiny)
+    spec = build_structure(ucfg)
+
+    # expert arch vector = codebook row from the stage-1 checkpoint
+    ckpts = sorted(d for d in os.listdir(args.pruning_ckpt_dir) if d.startswith("checkpoint-"))
+    emb_path = os.path.join(args.pruning_ckpt_dir, ckpts[-1], "quantizer_embeddings.pt") \
+        if ckpts else os.path.join(args.pruning_ckpt_dir, "quantizer_embeddings.pt")
+    embeddings = load_torch_artifact(emb_path)
+    arch_vector = np.asarray(embeddings)[args.expert_id]
+    from diffusion_pruning_tpu.utils.checkpoint import save_torch_artifact
+    save_torch_artifact(arch_vector, os.path.join(run_dir, "arch_vector.pt"))
+
+    teacher, teacher_params = build_unet(ucfg, sd_root, dtype=dtype)
+    plan = make_expert_plan(spec, arch_vector)
+    student = GatedUNet(ucfg, plan=plan, dtype=dtype)
+    student_params = slice_expert_params(teacher_params, plan)
+    print(f"expert {args.expert_id}: MACs ratio "
+          f"{expert_macs_ratio(spec, plan):.3f} of dense", file=sys.stderr)
+
+    vae, vae_params = build_vae(sd_root, tiny=tiny, dtype=dtype)
+    text, text_params = build_text_encoder(sd_root, tiny=tiny, dtype=dtype)
+    schedule = build_schedule(cfg)
+    mods = FineTunerModules(student=student, teacher=teacher, vae=vae,
+                            text_encoder=text, schedule=schedule)
+    frozen = {"teacher": teacher_params, "vae": vae_params, "text": text_params}
+
+    ft_cfg = FineTuneConfig(
+        snr_gamma=cfg.training.losses.diffusion_loss.get("snr_gamma"),
+        distillation_weight=cfg.training.losses.get("distillation_loss", {}).get("weight", 0.2),
+        block_weight=cfg.training.losses.get("block_loss", {}).get("weight", 0.2),
+        unet_lr=float(cfg.training.optim.get("unet_learning_rate", 1e-5)),
+        lr_warmup_steps=cfg.training.optim.get("lr_warmup_steps", 100),
+        scale_lr=cfg.training.optim.get("scale_lr", True),
+    )
+    mesh = data_mesh()
+    n_dev = mesh.shape["data"]
+    global_batch = cfg.data.dataloader.get("train_batch_size", 8) * n_dev
+    optimizer = make_finetune_optimizer(ft_cfg, global_batch)
+    step = make_finetune_step(mods, ft_cfg, optimizer, mesh=mesh, donate=True)
+
+    loop_cfg = LoopConfig(
+        max_train_steps=cfg.training.get("max_train_steps", 30000),
+        validation_steps=cfg.training.get("validation_steps", 1000),
+        checkpoints_total_limit=cfg.training.logging.get("checkpoints_total_limit", 1),
+        resume_from=cfg.training.logging.get("resume_from_checkpoint"),
+    )
+    loop = FineTuneLoop(step, None, jax.tree.map(jnp.asarray, student_params),
+                        frozen, optimizer, loop_cfg, run_dir,
+                        arch_vector=arch_vector, seed=args.seed)
+
+    resolution = ucfg.sample_size * 8
+    data_dir = cfg.data.get("data_dir") or ""
+    if os.path.exists(data_dir):
+        from transformers import CLIPTokenizer
+        from diffusion_pruning_tpu.data import get_dataset
+        from diffusion_pruning_tpu.data.loader import DataPipeline
+        clip_tok = CLIPTokenizer.from_pretrained(os.path.join(sd_root, "tokenizer"))
+
+        def tok_clip(caps):
+            return np.asarray(clip_tok(caps, max_length=77, padding="max_length",
+                                       truncation=True, return_tensors="np").input_ids)
+
+        splits = get_dataset(cfg.data)
+        # expert's prompt subset via the saved router assignment
+        idx_path = os.path.join(args.pruning_ckpt_dir,
+                                f"{cfg.data.dataset_name}_train_mapped_indices.pt")
+        cols = splits["train"]
+        if os.path.exists(idx_path):
+            assigned = np.asarray(load_torch_artifact(idx_path))
+            keep = np.nonzero(assigned == args.expert_id)[0]
+            cols = {"image": [cols["image"][i] for i in keep],
+                    "caption": [cols["caption"][i] for i in keep]}
+            print(f"expert {args.expert_id}: {len(keep)} assigned prompts", file=sys.stderr)
+        pipe = DataPipeline(cols, global_batch, resolution, tok_clip, None,
+                            train=True, seed=args.seed)
+        train_batches = pipe.epoch
+    else:
+        print(f"[smoke] dataset dir {data_dir!r} missing — synthetic data", file=sys.stderr)
+        rng = np.random.RandomState(args.seed)
+
+        def train_batches(_epoch=0):
+            for _ in range(loop_cfg.max_train_steps):
+                yield {"pixel_values": rng.randn(global_batch, resolution, resolution, 3
+                                                 ).astype(np.float32) * 0.5,
+                       "input_ids": rng.randint(0, 128, (global_batch, 77)).astype(np.int32)}
+
+    loop.train(train_batches, place_batch=lambda b: shard_batch(mesh, b))
+    print(f"done: {run_dir}")
+
+
+if __name__ == "__main__":
+    main()

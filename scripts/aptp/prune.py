@@ -1,0 +1,179 @@
+"""Stage-1 (APTP pruning) entry point.
+
+Equivalent of /root/reference/scripts/aptp/prune.py: YAML config + CLI args
+→ Pruner training. TPU-native: one jitted SPMD step over a data mesh.
+
+  python scripts/aptp/prune.py --base_config_path configs/pruning/sd-2-1_coco2014.yaml \
+      --pretrained_model_name_or_path /path/to/sd-2-1 \
+      --prompt_encoder_model_name_or_path /path/to/all-mpnet-base-v2
+
+With missing checkpoint/dataset paths the script runs in smoke mode (tiny
+random models + synthetic data) so the full pipeline stays executable in CI.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from diffusion_pruning_tpu.utils.arg_utils import parse_args
+    args = parse_args()
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(args.jax_cache_dir))
+
+    from diffusion_pruning_tpu.data import get_dataset
+    from diffusion_pruning_tpu.data.loader import DataPipeline
+    from diffusion_pruning_tpu.models.text_encoders import mean_pool
+    from diffusion_pruning_tpu.parallel import data_mesh, shard_batch
+    from diffusion_pruning_tpu.training import PrunerConfig, PrunerModules, make_pruner_step
+    from diffusion_pruning_tpu.training.factory import (
+        build_hypernet, build_mpnet, build_quantizer, build_schedule,
+        build_text_encoder, build_unet, build_vae, unet_config_from_yaml,
+    )
+    from diffusion_pruning_tpu.training.loop import LoopConfig, PrunerLoop
+    from diffusion_pruning_tpu.training.pruner import make_optimizer, make_validation_step
+    from diffusion_pruning_tpu.utils.config import load_config
+    from diffusion_pruning_tpu.utils.logging_utils import Tracker, init_logging, make_run_dir
+
+    cfg = load_config(args.base_config_path)
+    cfg.update_flat(vars(args))
+    run_dir = make_run_dir(cfg.training.logging.get("logging_dir", "runs"),
+                           args.base_config_path, args.wandb_run_name)
+    init_logging(run_dir)
+    cfg.dump(os.path.join(run_dir, "config.yaml"))
+
+    sd_root = args.pretrained_model_name_or_path
+    tiny = not os.path.exists(os.path.join(sd_root or "", "unet"))
+    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+
+    ucfg = unet_config_from_yaml(cfg, tiny=tiny)
+    from diffusion_pruning_tpu.core import build_structure
+    spec = build_structure(ucfg)
+    unet, unet_params = build_unet(ucfg, sd_root, dtype=dtype)
+    vae, vae_params = build_vae(sd_root, tiny=tiny, dtype=dtype)
+    text, text_params = build_text_encoder(sd_root, tiny=tiny, dtype=dtype)
+    mpnet, mpnet_params = build_mpnet(args.prompt_encoder_model_name_or_path, tiny=tiny)
+    mp_dim = 768 if not tiny else mpnet.cfg.hidden_size
+    hypernet, hn_params = build_hypernet(spec, cfg, input_dim=mp_dim)
+    quantizer, q_params = build_quantizer(spec, cfg)
+    schedule = build_schedule(cfg)
+
+    mods = PrunerModules(unet=unet, vae=vae, text_encoder=text,
+                         hypernet=hypernet, quantizer=quantizer, schedule=schedule)
+    frozen = {"unet": unet_params, "vae": vae_params, "text": text_params}
+    trainable = {"hypernet": hn_params, "quantizer": q_params}
+
+    losses = cfg.training.losses
+    pruner_cfg = PrunerConfig(
+        snr_gamma=losses.diffusion_loss.get("snr_gamma"),
+        diffusion_weight=losses.diffusion_loss.get("weight", 1.0),
+        resource_weight=losses.resource_loss.get("weight", 2.0),
+        resource_type=losses.resource_loss.get("type", "log"),
+        pruning_target=losses.resource_loss.get("pruning_target", 0.6),
+        contrastive_weight=losses.contrastive_loss.get("weight", 100.0),
+        arch_temperature=losses.contrastive_loss.get("arch_vector_temperature", 0.03),
+        prompt_temperature=losses.contrastive_loss.get("prompt_embedding_temperature", 0.03),
+        distillation_weight=losses.distillation_loss.get("weight", 0.2),
+        block_weight=losses.block_loss.get("weight", 0.2),
+        std_weight=losses.std_loss.get("weight", 0.1),
+        max_weight=losses.max_loss.get("weight", 0.1),
+        hypernet_lr=float(cfg.training.optim.get("hypernet_learning_rate", 2e-4)),
+        quantizer_lr=float(cfg.training.optim.get("quantizer_learning_rate", 2e-4)),
+        lr_warmup_steps=cfg.training.optim.get("lr_warmup_steps", 100),
+        scale_lr=cfg.training.optim.get("scale_lr", True),
+        noise_offset=cfg.model.unet.get("noise_offset", 0.0) or 0.0,
+        input_perturbation=cfg.model.unet.get("input_perturbation", 0.0) or 0.0,
+        max_scheduler_steps=cfg.model.unet.get("max_scheduler_steps"),
+    )
+    mesh = data_mesh()
+    n_dev = mesh.shape["data"]
+    batch_per_dev = cfg.data.dataloader.get("train_batch_size", 8)
+    global_batch = batch_per_dev * n_dev
+    optimizer = make_optimizer(pruner_cfg, global_batch)
+
+    loop_cfg = LoopConfig(
+        max_train_steps=cfg.training.get("max_train_steps", 5000),
+        hypernet_pretraining_steps=cfg.training.get("hypernet_pretraining_steps", 500),
+        validation_steps=cfg.training.get("validation_steps", 1000),
+        checkpoints_total_limit=cfg.training.logging.get("checkpoints_total_limit", 1),
+        resume_from=cfg.training.logging.get("resume_from_checkpoint"),
+    )
+
+    # ---------------- data ----------------
+    resolution = ucfg.sample_size * 8
+    embed_mpnet = jax.jit(lambda ids, mask: mean_pool(
+        mpnet.apply({"params": mpnet_params}, ids, mask), mask))
+
+    data_dir = cfg.data.get("data_dir") or ""
+    if os.path.exists(data_dir):
+        from transformers import AutoTokenizer, CLIPTokenizer
+        clip_tok = CLIPTokenizer.from_pretrained(os.path.join(sd_root, "tokenizer"))
+        mp_tok = AutoTokenizer.from_pretrained(args.prompt_encoder_model_name_or_path)
+
+        def tok_clip(caps):
+            return np.asarray(clip_tok(caps, max_length=77, padding="max_length",
+                                       truncation=True, return_tensors="np").input_ids)
+
+        def tok_mp(caps):
+            enc = mp_tok(caps, padding="max_length", max_length=128,
+                         truncation=True, return_tensors="np")
+            return {"mpnet_input_ids": enc.input_ids,
+                    "mpnet_attention_mask": enc.attention_mask}
+
+        splits = get_dataset(cfg.data)
+        train_pipe = DataPipeline(splits["train"], global_batch, resolution,
+                                  tok_clip, tok_mp, train=True,
+                                  center_crop=cfg.data.dataloader.get("center_crop", False),
+                                  random_flip=cfg.data.dataloader.get("random_flip", True),
+                                  seed=args.seed,
+                                  max_samples=cfg.data.get("max_train_samples"))
+        val_pipe = DataPipeline(splits["validation"],
+                                cfg.data.dataloader.get("validation_batch_size", 16) * n_dev,
+                                resolution, tok_clip, tok_mp, train=False,
+                                seed=args.seed,
+                                max_samples=cfg.data.get("max_validation_samples"))
+
+        def train_batches(epoch):
+            for b in train_pipe.epoch(epoch):
+                b["mpnet_embeddings"] = np.asarray(
+                    embed_mpnet(b.pop("mpnet_input_ids"), b.pop("mpnet_attention_mask")))
+                yield b
+
+        def val_batches():
+            for b in val_pipe.epoch(0):
+                b["mpnet_embeddings"] = np.asarray(
+                    embed_mpnet(b.pop("mpnet_input_ids"), b.pop("mpnet_attention_mask")))
+                yield b
+    else:
+        print(f"[smoke] dataset dir {data_dir!r} missing — synthetic data", file=sys.stderr)
+        rng = np.random.RandomState(args.seed)
+
+        def synth(n):
+            def gen(_epoch=0):
+                for _ in range(n):
+                    yield {
+                        "pixel_values": rng.randn(global_batch, resolution, resolution, 3
+                                                  ).astype(np.float32) * 0.5,
+                        "input_ids": rng.randint(0, 128, (global_batch, 77)).astype(np.int32),
+                        "mpnet_embeddings": rng.randn(global_batch, mp_dim).astype(np.float32),
+                    }
+            return gen
+        train_batches = synth(max(loop_cfg.max_train_steps, 1))
+        val_batches = lambda: synth(2)(0)
+
+    loop = PrunerLoop(mods, pruner_cfg, loop_cfg, optimizer,
+                      make_pruner_step, make_validation_step,
+                      trainable, frozen, run_dir, mesh=mesh,
+                      tracker=Tracker(run_dir,
+                                      use_wandb=cfg.training.logging.get("report_to") == "wandb"),
+                      seed=args.seed)
+    loop.train(train_batches, val_batches, place_batch=lambda b: shard_batch(mesh, b))
+    print(f"done: {run_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from diffusion_pruning_tpu.data import get_dataset, load_cc3m_dataset, load_coco_dataset
+from diffusion_pruning_tpu.data.loader import DataPipeline, filter_dataset
+
+
+def _make_coco(tmp_path, n=6):
+    img_dir = tmp_path / "images" / "train2014"
+    img_dir.mkdir(parents=True)
+    ann = {"annotations": []}
+    for i in range(n):
+        path = img_dir / f"COCO_train2014_{i:012d}.jpg"
+        Image.fromarray(np.full((40, 50, 3), i * 40, np.uint8)).save(path)
+        ann["annotations"].append({"image_id": i, "caption": f"caption {i}"})
+    ann_dir = tmp_path / "annotations"
+    ann_dir.mkdir()
+    with open(ann_dir / "captions_train2014.json", "w") as f:
+        json.dump(ann, f)
+    return tmp_path
+
+
+def test_coco_loader(tmp_path):
+    root = _make_coco(tmp_path)
+    cols = load_coco_dataset(str(root / "images" / "train2014"),
+                             str(root / "annotations" / "captions_train2014.json"))
+    assert len(cols["image"]) == 6
+    assert cols["caption"][2] == "caption 2"
+    assert os.path.exists(cols["image"][0])
+
+
+def test_cc3m_loader(tmp_path):
+    (tmp_path / "training").mkdir()
+    with open(tmp_path / "Train_GCC-training.tsv", "w") as f:
+        for i in range(5):
+            f.write(f"caption number {i}\thttp://x/{i}\n")
+    for i in (0, 2, 4):  # only some downloads succeeded
+        Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(
+            tmp_path / "training" / f"{i}_abcdef.jpg")
+    cols = load_cc3m_dataset(str(tmp_path), names_cache=str(tmp_path / "names.pkl"))
+    assert sorted(cols["caption"]) == ["caption number 0", "caption number 2",
+                                       "caption number 4"]
+
+
+def test_pipeline_static_shapes_with_corrupt_image(tmp_path):
+    root = _make_coco(tmp_path)
+    cols = load_coco_dataset(str(root / "images" / "train2014"),
+                             str(root / "annotations" / "captions_train2014.json"))
+    # corrupt one file: the pipeline must resample, not shrink the batch
+    with open(cols["image"][1], "wb") as f:
+        f.write(b"not a jpeg")
+    pipe = DataPipeline(cols, batch_size=3, resolution=32,
+                        tokenize_clip=lambda caps: np.zeros((len(caps), 77), np.int32),
+                        train=True, seed=0)
+    batches = list(pipe.epoch(0))
+    assert len(batches) == 2
+    for b in batches:
+        assert b["pixel_values"].shape == (3, 32, 32, 3)
+        assert b["input_ids"].shape == (3, 77)
+        assert np.isfinite(b["pixel_values"]).all()
+        assert b["pixel_values"].min() >= -1.0 and b["pixel_values"].max() <= 1.0
+
+
+def test_pipeline_eval_deterministic(tmp_path):
+    root = _make_coco(tmp_path)
+    cols = load_coco_dataset(str(root / "images" / "train2014"),
+                             str(root / "annotations" / "captions_train2014.json"))
+    pipe = DataPipeline(cols, batch_size=2, resolution=32, train=False, seed=0)
+    a = [b["pixel_values"] for b in pipe.epoch(0)]
+    b = [b["pixel_values"] for b in pipe.epoch(0)]
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_filter_dataset_batching():
+    captions = [f"c{i}" for i in range(10)]
+    calls = []
+
+    def embed(caps):
+        calls.append(len(caps))
+        return np.arange(len(caps), dtype=np.float32)[:, None]
+
+    def route(emb):
+        return (emb[:, 0] % 3).astype(np.int32)
+
+    idx = filter_dataset(captions, embed, route, batch_size=4)
+    assert idx.shape == (10,)
+    assert calls == [4, 4, 2]
+    np.testing.assert_array_equal(idx[:4], [0, 1, 2, 0])
