@@ -27,6 +27,11 @@ try:
 except ImportError:  # pragma: no cover
     Image = None
 
+try:  # native multithreaded JPEG pipeline (native/decoder.cpp)
+    import dpt_native
+except ImportError:
+    dpt_native = None
+
 
 def load_and_transform_image(path: str, resolution: int, train: bool,
                              center_crop: bool, random_flip: bool,
@@ -69,6 +74,8 @@ class DataPipeline:
         seed: int = 0,
         max_samples: Optional[int] = None,
         prefetch: int = 2,
+        use_native: Optional[bool] = None,   # None = auto (if built)
+        native_threads: int = 0,             # 0 = hardware concurrency
     ):
         self.images = columns["image"][:max_samples] if max_samples else columns["image"]
         self.captions = columns["caption"][:max_samples] if max_samples else columns["caption"]
@@ -81,29 +88,61 @@ class DataPipeline:
         self.random_flip = random_flip
         self.seed = seed
         self.prefetch = prefetch
+        self.use_native = (dpt_native is not None) if use_native is None else use_native
+        self.native_threads = native_threads
 
     def __len__(self):
         return len(self.images) // self.batch_size
 
+    def _native_decode(self, idxs: List[int], rng: np.random.RandomState):
+        """Batch decode through the C++ thread pool. Returns (pixels, idxs)
+        with failed entries resolved to None (PIL fallback handles them)."""
+        raws = []
+        for i in idxs:
+            try:
+                with open(self.images[i], "rb") as f:
+                    raws.append(f.read())
+            except OSError:
+                raws.append(b"")
+        n = len(idxs)
+        if self.train and not self.center_crop:
+            fx = rng.rand(n).tolist()
+            fy = rng.rand(n).tolist()
+        else:
+            fx = [0.5] * n
+            fy = [0.5] * n
+        flips = ((rng.rand(n) < 0.5).astype(np.int64).tolist()
+                 if (self.train and self.random_flip) else [0] * n)
+        batch, ok = dpt_native.decode_batch(raws, self.resolution, fx, fy,
+                                            list(map(int, flips)), self.native_threads)
+        return batch, ok.astype(bool)
+
     def _make_batch(self, idxs: Sequence[int], rng: np.random.RandomState,
                     pool: Sequence[int]) -> Dict[str, np.ndarray]:
-        pixels, caps = [], []
+        idxs = list(idxs)
         backup = list(pool)
-        for i in idxs:
-            arr = load_and_transform_image(self.images[i], self.resolution,
-                                           self.train, self.center_crop,
-                                           self.random_flip, rng)
-            # static shapes: resample a replacement instead of dropping
-            while arr is None and backup:
-                j = backup.pop()
-                arr = load_and_transform_image(self.images[j], self.resolution,
+        if self.use_native:
+            pixels_arr, ok = self._native_decode(idxs, rng)
+            pixels = [pixels_arr[j] if ok[j] else None for j in range(len(idxs))]
+        else:
+            pixels = [None] * len(idxs)
+        caps = [None] * len(idxs)
+        for j, i in enumerate(idxs):
+            arr = pixels[j]
+            if arr is None:
+                arr = load_and_transform_image(self.images[i], self.resolution,
                                                self.train, self.center_crop,
                                                self.random_flip, rng)
-                i = j
+            # static shapes: resample a replacement instead of dropping
+            while arr is None and backup:
+                i = backup.pop()
+                arr = load_and_transform_image(self.images[i], self.resolution,
+                                               self.train, self.center_crop,
+                                               self.random_flip, rng)
             if arr is None:
                 arr = np.zeros((self.resolution, self.resolution, 3), np.float32)
-            pixels.append(arr)
-            caps.append(self.captions[i])
+            pixels[j] = arr
+            caps[j] = self.captions[i]
         batch: Dict[str, np.ndarray] = {
             "pixel_values": np.stack(pixels),
             "captions": np.asarray(caps, dtype=object),

@@ -29,6 +29,11 @@ class VAEConfig:
     norm_num_groups: int = 32
     scaling_factor: float = 0.18215
 
+    @property
+    def spatial_scale(self) -> int:
+        """pixels per latent cell: 2^(levels-1) (8 for the SD VAE)."""
+        return 2 ** (len(self.block_out_channels) - 1)
+
     @classmethod
     def sd(cls) -> "VAEConfig":
         return cls()

@@ -102,8 +102,9 @@ class PruningPipeline:
     def denoise(self, key, prompt_embeds, neg_embeds, arch,
                 num_inference_steps=50, guidance_scale=7.5, height=None, width=None):
         cfg = self.unet.cfg
-        h = (height or cfg.sample_size * 8) // 8
-        w = (width or cfg.sample_size * 8) // 8
+        vs = self.vae.cfg.spatial_scale
+        h = (height or cfg.sample_size * vs) // vs
+        w = (width or cfg.sample_size * vs) // vs
         b = prompt_embeds.shape[0]
         latents = jax.random.normal(key, (b, h, w, cfg.in_channels))
         do_cfg = guidance_scale > 1.0
@@ -152,6 +153,58 @@ class PruningPipeline:
         latents = self.denoise(key, prompt_embeds, neg_embeds, arch,
                                num_inference_steps, guidance_scale)
         return self.decode(latents)
+
+    def sample_progressive(self, input_ids, neg_input_ids, key,
+                           hyper_net_input=None, num_inference_steps=50,
+                           guidance_scale=7.5, snapshot_every=10):
+        """Routed generation returning intermediate decoded images every
+        `snapshot_every` steps (pruning_pipelines.py:1003-1231). Runs the
+        trajectory in host-stepped chunks so snapshots stay cheap."""
+        prompt_embeds = self.encode_prompt(input_ids)
+        neg_embeds = self.encode_prompt(neg_input_ids)
+        arch, indices = self.route(prompt_embeds, hyper_net_input)
+        cfg = self.unet.cfg
+        b = prompt_embeds.shape[0]
+        latents = jax.random.normal(
+            key, (b, cfg.sample_size, cfg.sample_size, cfg.in_channels))
+        sampler = self._sampler()
+        ts = sampler.timesteps(num_inference_steps)
+        do_cfg = guidance_scale > 1.0
+        ehs = jnp.concatenate([neg_embeds, prompt_embeds]) if do_cfg else prompt_embeds
+        sched = self.schedule
+        ratio = sched.num_train_timesteps // num_inference_steps
+        ac = sched.alphas_cumprod
+
+        @jax.jit
+        def chunk_run(p, ehs_in, arch_in, x_in, chunk_ts):
+            def model_fn(xx, tt):
+                if do_cfg:
+                    out = self.unet.apply({"params": p},
+                                          jnp.concatenate([xx, xx]),
+                                          jnp.concatenate([tt, tt]),
+                                          ehs_in, arch=arch_in)
+                    u, c = jnp.split(out, 2)
+                    return u + guidance_scale * (c - u)
+                return self.unet.apply({"params": p}, xx, tt, ehs_in, arch=arch_in)
+
+            def step(xc, t):
+                t_b = jnp.full((xc.shape[0],), t, jnp.int32)
+                eps, x0 = sched.to_epsilon_and_x0(model_fn(xc, t_b), xc, t_b)
+                t_prev = t - ratio
+                ac_prev = jnp.where(t_prev >= 0, ac[jnp.maximum(t_prev, 0)], ac[0])
+                return (jnp.sqrt(ac_prev) * x0
+                        + jnp.sqrt(1 - ac_prev) * eps).astype(xc.dtype), None
+
+            out, _ = jax.lax.scan(step, x_in, chunk_ts)
+            return out
+
+        snaps = []
+        x = latents
+        for start in range(0, num_inference_steps, snapshot_every):
+            chunk = jnp.asarray(ts[start:start + snapshot_every])
+            x = chunk_run(self.unet_params, ehs, arch, x, chunk)
+            snaps.append(self.decode(x))
+        return snaps, indices
 
     def depth_analysis_arch(self, depth_indices: Sequence[int], batch: int = 1) -> jax.Array:
         """All-ones arch with the given depth gates zeroed

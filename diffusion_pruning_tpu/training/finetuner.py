@@ -132,7 +132,7 @@ def make_finetune_step(mods: FineTunerModules, cfg: FineTuneConfig,
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             metrics = jax.lax.pmean(metrics, axis_name)
-        good = jnp.isfinite(metrics["loss"])
+        good = jnp.isfinite(metrics["loss"]) & jnp.isfinite(optax.global_norm(grads))
         grads = jax.tree.map(lambda g: jnp.where(good, g, jnp.zeros_like(g)), grads)
         updates, new_opt = optimizer.update(grads, opt_state, student_params)
         new_params = optax.apply_updates(student_params, updates)

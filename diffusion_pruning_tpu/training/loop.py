@@ -16,6 +16,7 @@ from typing import Any, Callable, Dict, Iterable, Optional
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from diffusion_pruning_tpu.utils.checkpoint import CheckpointManager
 from diffusion_pruning_tpu.utils.logging_utils import Tracker
@@ -28,6 +29,7 @@ class LoopConfig:
     max_train_steps: int = 5000
     hypernet_pretraining_steps: int = 500
     validation_steps: int = 1000
+    image_logging_steps: int = 1000
     checkpoint_steps: Optional[int] = None   # None = per epoch
     checkpoints_total_limit: int = 1
     log_every: int = 10
@@ -55,10 +57,29 @@ class PrunerLoop:
         self.val_fn = make_val(mods, cfg, mesh=mesh)
         self.ckpt = CheckpointManager(run_dir, loop_cfg.checkpoints_total_limit)
         self.tracker = tracker or Tracker(run_dir)
+        self.run_dir = run_dir
+        self.image_logger: Optional[Callable] = None  # called every image_logging_steps
         self.global_step = 0
         self.key = jax.random.PRNGKey(seed)
 
     # ------------------------------------------------------------------
+
+    def log_heatmaps(self, aux):
+        """Codebook pairwise-similarity + per-prompt resource heatmaps (the
+        reference's wandb panels, trainer.py:972-1001, logging_utils.py:8-43)."""
+        import os
+        from diffusion_pruning_tpu.utils.logging_utils import heatmap_image
+        out = os.path.join(self.run_dir, "heatmaps")
+        os.makedirs(out, exist_ok=True)
+        codes = self.mods.quantizer.codebook_gates(self.trainable["quantizer"],
+                                                   key=None, hard=True)
+        codes = np.asarray(codes)
+        codes = codes / (np.linalg.norm(codes, axis=1, keepdims=True) + 1e-9)
+        heatmap_image(codes @ codes.T).save(
+            os.path.join(out, f"codebook_sim_{self.global_step}.png"))
+        ratios = np.asarray(aux["batch_resource_ratios"]).reshape(-1, 1)
+        heatmap_image(ratios).save(
+            os.path.join(out, f"batch_resource_ratios_{self.global_step}.png"))
 
     def state_dict(self) -> Dict[str, Any]:
         return {"trainable": self.trainable, "opt_state": self.opt_state,
@@ -122,6 +143,10 @@ class PrunerLoop:
 
                 if val_batches is not None and self.global_step % lc.validation_steps == 0:
                     self.validate(val_batches, place_batch)
+                if lc.image_logging_steps and self.global_step % lc.image_logging_steps == 0:
+                    self.log_heatmaps(aux)
+                    if self.image_logger is not None:
+                        self.image_logger(self)
                 if lc.checkpoint_steps and self.global_step % lc.checkpoint_steps == 0:
                     self.save_checkpoint()
             epoch += 1
@@ -153,16 +178,28 @@ class FineTuneLoop:
     def __init__(self, step_fn, val_fn, student_params, frozen, optimizer,
                  loop_cfg: LoopConfig, run_dir: str,
                  arch_vector: Optional[np.ndarray] = None,
-                 tracker: Optional[Tracker] = None, seed: int = 43):
+                 tracker: Optional[Tracker] = None, seed: int = 43,
+                 ema_decay: Optional[float] = None):
         self.step_fn, self.val_fn = step_fn, val_fn
-        self.params, self.frozen = student_params, frozen
-        self.opt_state = optimizer.init(student_params)
+        # copy: expert params share unsliced leaves with the frozen teacher
+        # (slice_expert_params is zero-copy); a donating step would otherwise
+        # delete the teacher's buffers
+        self.params = jax.tree.map(jnp.copy, student_params)
+        self.frozen = frozen
+        self.opt_state = optimizer.init(self.params)
         self.loop_cfg = loop_cfg
         self.ckpt = CheckpointManager(run_dir, loop_cfg.checkpoints_total_limit)
         self.tracker = tracker or Tracker(run_dir)
         self.arch_vector = arch_vector
         self.global_step = 0
         self.key = jax.random.PRNGKey(seed)
+        # EMA of student params (the reference's use_ema / EMAModel option)
+        self.ema_decay = ema_decay
+        self.ema_params = jax.tree.map(lambda x: x, student_params) if ema_decay else None
+        self._ema_update = jax.jit(
+            lambda e, p: jax.tree.map(
+                lambda a, b: a * ema_decay + b.astype(a.dtype) * (1.0 - ema_decay), e, p)
+        ) if ema_decay else None
 
     def save_checkpoint(self):
         artifacts = {}
@@ -170,10 +207,11 @@ class FineTuneLoop:
             # fine-tuning copies arch_vector.pt beside every checkpoint
             # (trainer.py:1656-1661)
             artifacts["arch_vector.pt"] = np.asarray(self.arch_vector)
-        self.ckpt.save(self.global_step,
-                       {"params": self.params, "opt_state": self.opt_state,
-                        "step": np.asarray(self.global_step)},
-                       artifacts)
+        state = {"params": self.params, "opt_state": self.opt_state,
+                 "step": np.asarray(self.global_step)}
+        if self.ema_params is not None:
+            state["ema_params"] = self.ema_params
+        self.ckpt.save(self.global_step, state, artifacts)
 
     def maybe_resume(self):
         if self.loop_cfg.resume_from is None:
@@ -201,6 +239,8 @@ class FineTuneLoop:
                 self.key, sub = jax.random.split(self.key)
                 self.params, self.opt_state, metrics = self.step_fn(
                     self.params, self.frozen, self.opt_state, batch, sub)
+                if self.ema_params is not None:
+                    self.ema_params = self._ema_update(self.ema_params, self.params)
                 self.global_step += 1
                 if self.global_step % lc.log_every == 0:
                     self.tracker.log({k: float(v) for k, v in metrics.items()},

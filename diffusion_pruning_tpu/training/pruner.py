@@ -261,8 +261,12 @@ def make_pruner_step(
             grads = jax.lax.pmean(grads, axis_name)
             loss = jax.lax.pmean(loss, axis_name)
 
-        # NaN-batch skip (trainer.py:921-929): zero the update, keep state
-        good = jnp.isfinite(loss)
+        # NaN/Inf-batch skip, hardened beyond the reference (trainer.py:921-929):
+        # a finite loss can still carry inf/NaN grads (e.g. contrastive at
+        # tiny batches), which would poison params for the rest of the run —
+        # gate the update on the global grad norm too.
+        gnorm = optax.global_norm(grads)
+        good = jnp.isfinite(loss) & jnp.isfinite(gnorm)
         grads = jax.tree.map(lambda g: jnp.where(good, g, jnp.zeros_like(g)), grads)
         updates, new_opt_state = optimizer.update(grads, opt_state, trainable)
         new_trainable = optax.apply_updates(trainable, updates)
@@ -274,6 +278,7 @@ def make_pruner_step(
         metrics = {k: v for k, v in aux.items()
                    if k not in ("q_state", "batch_resource_ratios",
                                 "expert_indices", "arch_similarity")}
+        metrics["grad_norm"] = gnorm
         if axis_name is not None:
             metrics = jax.lax.pmean(metrics, axis_name)
         out_aux = {

@@ -138,6 +138,12 @@ def main():
                        "input_ids": rng.randint(0, 128, (global_batch, 77)).astype(np.int32)}
 
     loop.train(train_batches, place_batch=lambda b: shard_batch(mesh, b))
+    from diffusion_pruning_tpu.utils.model_card import write_model_card
+    write_model_card(run_dir, sd_root or "stable-diffusion-2-1",
+                     cfg.data.get("dataset_name", "?"), expert_id=args.expert_id,
+                     macs_ratio=expert_macs_ratio(spec, plan),
+                     extra={"max_train_steps": loop_cfg.max_train_steps,
+                            "unet_lr": ft_cfg.unet_lr})
     print(f"done: {run_dir}")
 
 

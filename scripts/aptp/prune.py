@@ -22,8 +22,10 @@ import jax.numpy as jnp
 
 def main():
     from diffusion_pruning_tpu.utils.arg_utils import parse_args
+    from diffusion_pruning_tpu.utils.launch import init_distributed
     args = parse_args()
     jax.config.update("jax_compilation_cache_dir", os.path.abspath(args.jax_cache_dir))
+    init_distributed()
 
     from diffusion_pruning_tpu.data import get_dataset
     from diffusion_pruning_tpu.data.loader import DataPipeline
@@ -85,6 +87,7 @@ def main():
         quantizer_lr=float(cfg.training.optim.get("quantizer_learning_rate", 2e-4)),
         lr_warmup_steps=cfg.training.optim.get("lr_warmup_steps", 100),
         scale_lr=cfg.training.optim.get("scale_lr", True),
+        max_grad_norm=cfg.training.optim.get("max_grad_norm"),
         noise_offset=cfg.model.unet.get("noise_offset", 0.0) or 0.0,
         input_perturbation=cfg.model.unet.get("input_perturbation", 0.0) or 0.0,
         max_scheduler_steps=cfg.model.unet.get("max_scheduler_steps"),
@@ -99,6 +102,7 @@ def main():
         max_train_steps=cfg.training.get("max_train_steps", 5000),
         hypernet_pretraining_steps=cfg.training.get("hypernet_pretraining_steps", 500),
         validation_steps=cfg.training.get("validation_steps", 1000),
+        image_logging_steps=cfg.training.get("image_logging_steps", 1000),
         checkpoints_total_limit=cfg.training.logging.get("checkpoints_total_limit", 1),
         resume_from=cfg.training.logging.get("resume_from_checkpoint"),
     )

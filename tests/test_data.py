@@ -91,3 +91,43 @@ def test_filter_dataset_batching():
     assert idx.shape == (10,)
     assert calls == [4, 4, 2]
     np.testing.assert_array_equal(idx[:4], [0, 1, 2, 0])
+
+
+def test_native_decoder_matches_pil(tmp_path):
+    """dpt_native (C++ libjpeg pipeline) ≈ PIL path on the same image.
+
+    Uses a smooth image: PIL's resize is anti-aliased while the native path
+    is DCT-prescale + bilinear, so white-noise images diverge at high
+    frequencies by construction (irrelevant for photos)."""
+    pytest.importorskip("dpt_native")
+    from diffusion_pruning_tpu.data.loader import load_and_transform_image
+    import dpt_native
+
+    yy, xx = np.mgrid[0:80, 0:120]
+    smooth = np.stack([yy * 2, xx * 1.5, (yy + xx)], -1).astype(np.uint8)
+    img = Image.fromarray(smooth)
+    p = tmp_path / "x.jpg"
+    img.save(p, quality=98)
+    # center crop, no flip → deterministic in both paths
+    rng = np.random.RandomState(0)
+    pil = load_and_transform_image(str(p), 32, train=False, center_crop=True,
+                                   random_flip=False, rng=rng)
+    with open(p, "rb") as f:
+        raw = f.read()
+    batch, ok = dpt_native.decode_batch([raw], 32, [0.5], [0.5], [0], 1)
+    assert ok[0] == 1
+    # different bilinear implementations: compare loosely
+    diff = np.abs(batch[0] - pil).mean()
+    assert diff < 0.02, diff
+
+
+def test_pipeline_native_and_pil_agree(tmp_path):
+    pytest.importorskip("dpt_native")
+    root = _make_coco(tmp_path)
+    cols = load_coco_dataset(str(root / "images" / "train2014"),
+                             str(root / "annotations" / "captions_train2014.json"))
+    a = DataPipeline(cols, batch_size=2, resolution=32, train=False, use_native=True)
+    b = DataPipeline(cols, batch_size=2, resolution=32, train=False, use_native=False)
+    xa = next(iter(a.epoch(0)))["pixel_values"]
+    xb = next(iter(b.epoch(0)))["pixel_values"]
+    assert np.abs(xa - xb).mean() < 0.05

@@ -62,9 +62,10 @@ def test_routed_generation(tiny_pipeline):
     cfg = p.unet.cfg
     ids = jnp.ones((2, cfg.max_text_len), jnp.int32)
     neg = jnp.zeros((2, cfg.max_text_len), jnp.int32)
+    vs = p.vae.cfg.spatial_scale
     images, indices, ratios = p(ids, neg, jax.random.PRNGKey(0),
                                 num_inference_steps=3, guidance_scale=7.5)
-    assert images.shape == (2, cfg.sample_size * 8, cfg.sample_size * 8, 3)
+    assert images.shape == (2, cfg.sample_size * vs, cfg.sample_size * vs, 3)
     assert np.isfinite(np.asarray(images)).all()
     assert float(images.min()) >= 0.0 and float(images.max()) <= 1.0
     assert indices.shape == (2,)
@@ -77,9 +78,10 @@ def test_generate_samples_dense(tiny_pipeline):
     cfg = p.unet.cfg
     ids = jnp.ones((1, cfg.max_text_len), jnp.int32)
     neg = jnp.zeros((1, cfg.max_text_len), jnp.int32)
+    vs = p.vae.cfg.spatial_scale
     images = p.generate_samples(ids, neg, jax.random.PRNGKey(1),
                                 arch=None, num_inference_steps=2)
-    assert images.shape == (1, cfg.sample_size * 8, cfg.sample_size * 8, 3)
+    assert images.shape == (1, cfg.sample_size * vs, cfg.sample_size * vs, 3)
 
 
 def test_quantizer_samples(tiny_pipeline):
