@@ -46,7 +46,8 @@ def main():
     from diffusion_pruning_tpu.models.unet.unet import GatedUNet
     from diffusion_pruning_tpu.schedulers import DDIMSampler, DiffusionSchedule
 
-    cfg = UNetConfig.sd21(resolution=RES)
+    use_flash = os.environ.get("DPT_BENCH_FLASH", "0") == "1"
+    cfg = UNetConfig.sd21(resolution=RES, use_flash_attention=use_flash)
     spec = build_structure(cfg)
     model = GatedUNet(cfg, dtype=jnp.bfloat16)
     _log("initialising SD-2.1 U-Net params (host-side, no init compile)")

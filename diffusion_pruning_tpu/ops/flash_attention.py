@@ -26,8 +26,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, *, scale: float, gated: bool):
-    # q: (blk_q, d); k/v: (s_kv, d); g: (1, 1) in SMEM; o: (blk_q, d)
+def _attn_kernel(g_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float, gated: bool):
+    # g: scalar-prefetch (B*H,) in SMEM; q: (1, blk_q, d); k/v: (1, s_kv, d)
     q = q_ref[0].astype(jnp.float32)
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
@@ -35,7 +35,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, *, scale: float, gated: bool
                             preferred_element_type=jnp.float32)
     s = s * scale
     if gated:
-        g = g_ref[0, 0].astype(jnp.float32)
+        g = g_ref[pl.program_id(0)].astype(jnp.float32)
         s = s * (g * g)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
@@ -44,7 +44,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, *, scale: float, gated: bool
                             preferred_element_type=jnp.float32)
     o = o / denom
     if gated:
-        o = o * g_ref[0, 0].astype(jnp.float32)
+        o = o * g_ref[pl.program_id(0)].astype(jnp.float32)
     o_ref[0] = o.astype(o_ref.dtype)
 
 
@@ -69,30 +69,29 @@ def flash_attention(
     blk = min(block_q, s_q)
     grid = (b * h, pl.cdiv(s_q, blk))
 
-    in_specs = [
-        pl.BlockSpec((1, blk, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, s_kv, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, s_kv, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-    ]
-    args = [qf, kf, vf]
+    # gate rides as a scalar-prefetch array: full (B*H,) in SMEM, indexed by
+    # the grid position (a (1,1)-blocked operand would violate the TPU tile
+    # divisibility rules)
     if gated:
-        # (B, H) row-major flatten matches the (B*H, ...) layout above
-        gf = gate.astype(jnp.float32).reshape(b * h, 1)
-        in_specs.append(pl.BlockSpec((1, 1), lambda i, j: (i, 0),
-                                     memory_space=pltpu.SMEM))
-        args.append(gf)
+        gf = gate.astype(jnp.float32).reshape(b * h)
     else:
-        in_specs.append(pl.BlockSpec((1, 1), lambda i, j: (0, 0),
-                                     memory_space=pltpu.SMEM))
-        args.append(jnp.ones((1, 1), jnp.float32))
+        gf = jnp.ones((1,), jnp.float32)
 
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            # index maps take the scalar-prefetch ref as a trailing arg
+            pl.BlockSpec((1, blk, d), lambda i, j, g: (i, j, 0)),
+            pl.BlockSpec((1, s_kv, d), lambda i, j, g: (i, 0, 0)),
+            pl.BlockSpec((1, s_kv, d), lambda i, j, g: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, blk, d), lambda i, j, g: (i, j, 0)),
+    )
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale, gated=gated),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, blk, d), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b * h, s_q, d), q.dtype),
         interpret=interpret,
-    )(*args)
+    )(gf, qf, kf, vf)
     return out.reshape(b, h, s_q, d).transpose(0, 2, 1, 3)

@@ -217,11 +217,15 @@ class FineTuneLoop:
         if self.loop_cfg.resume_from is None:
             return
         step = None if self.loop_cfg.resume_from == "latest" else int(self.loop_cfg.resume_from)
-        restored = self.ckpt.restore(step, template={
-            "params": self.params, "opt_state": self.opt_state,
-            "step": np.asarray(self.global_step)})
+        template = {"params": self.params, "opt_state": self.opt_state,
+                    "step": np.asarray(self.global_step)}
+        if self.ema_params is not None:
+            template["ema_params"] = self.ema_params
+        restored = self.ckpt.restore(step, template=template)
         self.params = restored["params"]
         self.opt_state = restored["opt_state"]
+        if self.ema_params is not None:
+            self.ema_params = restored["ema_params"]
         self.global_step = int(restored["step"])
 
     def train(self, train_batches, place_batch=None):
