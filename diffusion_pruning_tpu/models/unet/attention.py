@@ -59,7 +59,9 @@ class GatedAttention(nn.Module):
             from diffusion_pruning_tpu.ops.flash_attention import flash_attention
             from diffusion_pruning_tpu.ops.gates import match_batch
             g = match_batch(gate, b) if gate is not None else None
-            o = flash_attention(q, k, v, gate=g)
+            # positional args: custom_vjp rejects kwargs; interpret the
+            # kernel on non-TPU backends (CPU tests)
+            o = flash_attention(q, k, v, g, 512, jax.default_backend() != "tpu")
         else:
             if gate is not None:
                 q = head_gate(q, gate)

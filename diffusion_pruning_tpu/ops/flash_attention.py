@@ -48,7 +48,7 @@ def _attn_kernel(g_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float, gated: bool
     o_ref[0] = o.astype(o_ref.dtype)
 
 
-def flash_attention(
+def _flash_forward(
     q: jax.Array,                     # (B, S_q, H, D)
     k: jax.Array,                     # (B, S_kv, H, D)
     v: jax.Array,                     # (B, S_kv, H, D)
@@ -95,3 +95,38 @@ def flash_attention(
         interpret=interpret,
     )(gf, qf, kf, vf)
     return out.reshape(b, h, s_q, d).transpose(0, 2, 1, 3)
+
+
+def _masked_sdpa(q, k, v, gate):
+    """Reference semantics (HeadGatedAttnProcessor2): mask q/k/v per head,
+    then SDPA — used as the differentiable backward of the Pallas forward."""
+    if gate is not None:
+        g = gate[:, None, :, None].astype(q.dtype)
+        q, k, v = q * g, k * g, v * g
+    return jax.nn.dot_product_attention(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def flash_attention(q, k, v, gate=None, block_q: int = 512,
+                    interpret: bool = False):
+    """Head-gated flash attention: Pallas forward, XLA-recompute backward
+    (gradients flow to q/k/v AND the gate, matching the reference exactly —
+    the gate gradient is what trains the hypernet/codebook)."""
+    return _flash_forward(q, k, v, gate, block_q, interpret)
+
+
+def _fa_fwd(q, k, v, gate, block_q, interpret):
+    return _flash_forward(q, k, v, gate, block_q, interpret), (q, k, v, gate)
+
+
+def _fa_bwd(block_q, interpret, res, g_out):
+    q, k, v, gate = res
+    if gate is None:
+        _, vjp = jax.vjp(lambda a, b, c: _masked_sdpa(a, b, c, None), q, k, v)
+        dq, dk, dv = vjp(g_out)
+        return dq, dk, dv, None
+    _, vjp = jax.vjp(_masked_sdpa, q, k, v, gate)
+    return vjp(g_out)
+
+
+flash_attention.defvjp(_fa_fwd, _fa_bwd)

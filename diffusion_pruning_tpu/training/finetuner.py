@@ -149,3 +149,23 @@ def make_finetune_step(mods: FineTunerModules, cfg: FineTuneConfig,
                      out_specs=(P(), P(), P()),
                      check_vma=False)
     return jax.jit(step, **donate_kw)
+
+
+def make_finetune_validation_step(mods: FineTunerModules, cfg: FineTuneConfig,
+                                  mesh: Optional[Mesh] = None) -> Callable:
+    """Loss-only eval step (reference FineTuner.validate, trainer.py:1767-1818)."""
+    axis_name = DATA_AXIS if mesh is not None else None
+
+    def local_val(student_params, frozen, batch, key):
+        if axis_name is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        _, metrics = _losses(mods, cfg, student_params, frozen, batch, key)
+        if axis_name is not None:
+            metrics = jax.lax.pmean(metrics, axis_name)
+        return metrics
+
+    if mesh is None:
+        return jax.jit(local_val)
+    return jax.jit(shard_map(local_val, mesh=mesh,
+                             in_specs=(P(), P(), P(DATA_AXIS), P()),
+                             out_specs=P(), check_vma=False))

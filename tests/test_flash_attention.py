@@ -70,3 +70,28 @@ def test_flash_multi_qblock_grid():
     got = flash_attention(q, k, v, block_q=64, interpret=True)
     want = _reference_sdpa(q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_gradients_match_masked_sdpa():
+    """Custom VJP: grads through the Pallas forward equal the reference
+    masked-SDPA grads, including the head-gate gradient."""
+    key = jax.random.PRNGKey(5)
+    b, s, h, d = 1, 16, 2, 64
+    ks = jax.random.split(key, 4)
+    q = jax.random.normal(ks[0], (b, s, h, d))
+    k = jax.random.normal(ks[1], (b, s, h, d))
+    v = jax.random.normal(ks[2], (b, s, h, d))
+    gate = jax.random.uniform(ks[3], (b, h)) * 0.8 + 0.1
+
+    def loss_flash(q, k, v, g):
+        return (flash_attention(q, k, v, g, 512, True) ** 2).sum()
+
+    def loss_ref(q, k, v, g):
+        gg = g[:, None, :, None]
+        return (jax.nn.dot_product_attention(q * gg, k * gg, v * gg) ** 2).sum()
+
+    got = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, gate)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, gate)
+    for g1, g2, name in zip(got, want, "qkvg"):
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   atol=1e-4, rtol=1e-3, err_msg=name)

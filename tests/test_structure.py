@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from diffusion_pruning_tpu.core import ResourceModel, build_structure, hard_concrete
 from diffusion_pruning_tpu.models.unet.config import UNetConfig
@@ -131,3 +132,30 @@ def test_prunable_template_shape_and_mass():
     # fraction appears `width` times, so the weighted sum over sites is 1)
     site_fracs = [s.prunable_macs / spec.prunable_macs for sb in spec.subblocks for s in sb.sites]
     np.testing.assert_allclose(sum(site_fracs), 1.0, rtol=1e-6)
+
+
+def test_analytic_macs_against_xla_cost_analysis():
+    """Independent validation of the analytic MAC table (the reference
+    cross-checks its op-counter against calc_macs at startup,
+    trainer.py:1277-1296): XLA's compiled-HLO flop count for one dense
+    forward should be ≈ 2 × total MACs (batch 1). Conventions differ
+    slightly (XLA counts everything; the table follows ptflops), so the
+    tolerance is generous — this catches order-of-magnitude/missing-term
+    bugs, not rounding."""
+    from diffusion_pruning_tpu.models.unet.unet import GatedUNet
+
+    cfg = UNetConfig.tiny()
+    spec = build_structure(cfg)
+    model = GatedUNet(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    x = jnp.zeros((1, cfg.sample_size, cfg.sample_size, cfg.in_channels))
+    t = jnp.zeros((1,), jnp.int32)
+    e = jnp.zeros((1, cfg.max_text_len, cfg.cross_attention_dim))
+    compiled = jax.jit(lambda p, x, t, e: model.apply({"params": p}, x, t, e)
+                       ).lower(params, x, t, e).compile()
+    cost = compiled.cost_analysis()
+    flops = (cost or {}).get("flops", 0.0)
+    if not flops:
+        pytest.skip("backend reports no flop analysis")
+    ratio = flops / (2.0 * spec.total_macs)
+    assert 0.7 < ratio < 1.4, (flops, spec.total_macs, ratio)

@@ -134,3 +134,26 @@ def test_param_count_sd21_scale():
     shapes = jax.eval_shape(lambda: model.init_params(jax.random.PRNGKey(0)))
     n = sum(np.prod(x.shape) for x in jax.tree.leaves(shapes))
     assert 8.0e8 < n < 9.5e8, n
+
+
+def test_flash_attention_unet_matches_sdpa_path(tiny):
+    """use_flash_attention=True (Pallas kernel, interpreted on CPU) must
+    reproduce the masked-SDPA forward and stay differentiable."""
+    import dataclasses
+    cfg, model, params, spec = tiny
+    fcfg = dataclasses.replace(cfg, use_flash_attention=True)
+    fmodel = GatedUNet(fcfg)
+    sample, t, ehs = _inputs(cfg, 2)
+    arch = (jax.random.uniform(jax.random.PRNGKey(11), (2, spec.vq_dim)) > 0.3
+            ).astype(jnp.float32)
+    base = model.apply({"params": params}, sample, t, ehs, arch=arch)
+    flash = fmodel.apply({"params": params}, sample, t, ehs, arch=arch)
+    np.testing.assert_allclose(np.asarray(flash), np.asarray(base),
+                               atol=5e-4, rtol=5e-3)
+
+    def loss(a):
+        return (fmodel.apply({"params": params}, sample, t, ehs, arch=a)
+                .astype(jnp.float32) ** 2).mean()
+
+    g = jax.grad(loss)(jnp.full((2, spec.vq_dim), 0.8))
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
