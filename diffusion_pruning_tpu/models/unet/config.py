@@ -73,6 +73,10 @@ class UNetConfig:
     # TPU: route attention through the Pallas flash kernel with the head
     # gate folded in (ops/flash_attention.py); False = XLA SDPA + masking
     use_flash_attention: bool = False
+    # rematerialise each subblock in the backward pass (the reference's
+    # `gradient_checkpointing` flag) — trades ~30% step time for activation
+    # memory, enabling larger per-device batches
+    remat: bool = False
 
     @property
     def num_levels(self) -> int:

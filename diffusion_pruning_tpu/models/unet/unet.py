@@ -116,6 +116,11 @@ class GatedUNet(nn.Module):
         features: Dict[str, jax.Array] = {}
         plan = self.plan.by_name if self.plan is not None else {}
 
+        _resnet_cls = (nn.remat(GatedResnetBlock, static_argnums=())
+                       if cfg.remat else GatedResnetBlock)
+        _transformer_cls = (nn.remat(GatedTransformer2D, static_argnums=())
+                            if cfg.remat else GatedTransformer2D)
+
         def resnet(cout, name, sb_name):
             p = plan.get(sb_name)
             hidden = hgroups = None
@@ -123,9 +128,9 @@ class GatedUNet(nn.Module):
                 keep = p.sites[0]
                 unit = keep.channels // keep.width
                 hidden, hgroups = len(keep.kept) * unit, len(keep.kept)
-            return GatedResnetBlock(cout, cfg.norm_num_groups, cfg.norm_eps,
-                                    hidden, hgroups, self.dtype, self.param_dtype,
-                                    name=name)
+            return _resnet_cls(cout, cfg.norm_num_groups, cfg.norm_eps,
+                               hidden, hgroups, self.dtype, self.param_dtype,
+                               name=name)
 
         def transformer(c, heads, name, sb_name):
             p = plan.get(sb_name)
@@ -136,11 +141,11 @@ class GatedUNet(nn.Module):
                 ff = p.site("ff")
                 if ff is not None:
                     ffi = len(ff.kept) * (ff.channels // ff.width)
-            return GatedTransformer2D(c, heads, cfg.cross_attention_dim, 1,
-                                      cfg.norm_num_groups, cfg.use_linear_projection,
-                                      h1, h2, ffi, cfg.use_flash_attention,
-                                      self.dtype, self.param_dtype,
-                                      name=name)
+            return _transformer_cls(c, heads, cfg.cross_attention_dim, 1,
+                                    cfg.norm_num_groups, cfg.use_linear_projection,
+                                    h1, h2, ffi, cfg.use_flash_attention,
+                                    self.dtype, self.param_dtype,
+                                    name=name)
 
         def is_dropped(sb_name):
             p = plan.get(sb_name)

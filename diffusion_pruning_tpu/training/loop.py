@@ -136,10 +136,15 @@ class PrunerLoop:
                     now = time.perf_counter()
                     m["steps_per_sec"] = lc.log_every / (now - t_last)
                     t_last = now
+                    # expert-usage histogram (router balance observability)
+                    counts = np.bincount(np.asarray(aux["expert_indices"]),
+                                         minlength=self.mods.quantizer.n_e)
+                    for e, c in enumerate(counts):
+                        m[f"expert_usage/{e}"] = int(c)
                     self.tracker.log(m, self.global_step)
-                    logger.info("step %d loss %.4f ratio %.3f (%.2f it/s)",
+                    logger.info("step %d loss %.4f ratio %.3f experts %s (%.2f it/s)",
                                 self.global_step, m["loss"], m["resource_ratio"],
-                                m["steps_per_sec"])
+                                counts.tolist(), m["steps_per_sec"])
 
                 if val_batches is not None and self.global_step % lc.validation_steps == 0:
                     self.validate(val_batches, place_batch)

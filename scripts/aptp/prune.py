@@ -175,6 +175,36 @@ def main():
                       tracker=Tracker(run_dir,
                                       use_wandb=cfg.training.logging.get("report_to") == "wandb"),
                       seed=args.seed)
+
+    # periodic routed sample generation from fixed prompts
+    # (trainer.py:996-1001 / generate_samples_from_prompts)
+    prompts = cfg.data.get("prompts")
+    if prompts and os.path.exists(data_dir):
+        from diffusion_pruning_tpu.pipelines import PruningPipeline
+        from diffusion_pruning_tpu.utils.logging_utils import image_grid
+
+        def image_logger(lp):
+            pipe = PruningPipeline(
+                unet=unet, unet_params=frozen["unet"],
+                vae=vae, vae_params=frozen["vae"],
+                text_encoder=text, text_params=frozen["text"],
+                hypernet=hypernet, hypernet_params=lp.trainable["hypernet"],
+                quantizer=quantizer, quantizer_params=lp.trainable["quantizer"],
+                quantizer_state=lp.q_state, schedule=schedule)
+            ids = tok_clip(list(prompts))
+            neg = tok_clip([""] * len(prompts))
+            emb = embed_mpnet(*[v for v in tok_mp(list(prompts)).values()])
+            imgs, idx, _ = pipe(jnp.asarray(ids), jnp.asarray(neg),
+                                jax.random.PRNGKey(lp.global_step),
+                                hyper_net_input=jnp.asarray(emb),
+                                num_inference_steps=cfg.training.get(
+                                    "num_inference_steps", 50))
+            out = os.path.join(run_dir, "samples")
+            os.makedirs(out, exist_ok=True)
+            image_grid(np.asarray(imgs)).save(
+                os.path.join(out, f"samples_{lp.global_step}.png"))
+
+        loop.image_logger = image_logger
     loop.train(train_batches, val_batches, place_batch=lambda b: shard_batch(mesh, b))
     print(f"done: {run_dir}")
 

@@ -16,8 +16,10 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 # Persistent compilation cache: repeated test runs skip XLA recompiles
 # (essential on low-core CI hosts where CPU compiles dominate runtime).
+# separate cache from the TPU one: XLA:CPU AOT entries are machine-feature
+# sensitive (mismatched features SIGILL on load)
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 

@@ -157,3 +157,20 @@ def test_flash_attention_unet_matches_sdpa_path(tiny):
 
     g = jax.grad(loss)(jnp.full((2, spec.vq_dim), 0.8))
     assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
+
+
+def test_remat_matches_non_remat(tiny):
+    """gradient_checkpointing (remat) must not change values or break grads."""
+    import dataclasses
+    cfg, model, params, spec = tiny
+    rcfg = dataclasses.replace(cfg, remat=True)
+    rmodel = GatedUNet(rcfg)
+    sample, t, ehs = _inputs(cfg, 2)
+    arch = jnp.full((2, spec.vq_dim), 0.8)
+    base = model.apply({"params": params}, sample, t, ehs, arch=arch)
+    rem = rmodel.apply({"params": params}, sample, t, ehs, arch=arch)
+    np.testing.assert_allclose(np.asarray(rem), np.asarray(base), atol=1e-5)
+
+    g = jax.grad(lambda a: (rmodel.apply({"params": params}, sample, t, ehs, arch=a)
+                            .astype(jnp.float32) ** 2).mean())(arch)
+    assert np.isfinite(np.asarray(g)).all()
