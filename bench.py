@@ -35,9 +35,9 @@ def _log(msg):
 
 A100_BASELINE_IMG_PER_SEC = 1.0  # placeholder; see BASELINE.md
 
-BATCH = 4
+BATCH = int(os.environ.get("DPT_BENCH_BATCH", "4"))
 STEPS = 25
-RES = 256
+RES = int(os.environ.get("DPT_BENCH_RES", "256"))
 
 
 def main():
@@ -46,8 +46,12 @@ def main():
     from diffusion_pruning_tpu.models.unet.unet import GatedUNet
     from diffusion_pruning_tpu.schedulers import DDIMSampler, DiffusionSchedule
 
-    use_flash = os.environ.get("DPT_BENCH_FLASH", "0") == "1"
-    cfg = UNetConfig.sd21(resolution=RES, use_flash_attention=use_flash)
+    overrides = {}
+    if "DPT_BENCH_FLASH" in os.environ:  # default: sd21() enables flash
+        overrides["use_flash_attention"] = os.environ["DPT_BENCH_FLASH"] == "1"
+    if os.environ.get("DPT_BENCH_FUSED_NORMS") == "1":
+        overrides["fused_norms"] = True
+    cfg = UNetConfig.sd21(resolution=RES, **overrides)
     spec = build_structure(cfg)
     model = GatedUNet(cfg, dtype=jnp.bfloat16)
     _log("initialising SD-2.1 U-Net params (host-side, no init compile)")

@@ -22,8 +22,30 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+import jax
+
 from diffusion_pruning_tpu.models.unet.attention import GatedTransformerBlock
 from diffusion_pruning_tpu.ops.gates import channel_gate, depth_lerp
+
+
+class FusedGroupNormSiLU(nn.Module):
+    """GroupNorm(+SiLU) via the one-pass Pallas kernel (ops/group_norm.py).
+    Same parameter tree as nn.GroupNorm (scale/bias), so checkpoints are
+    interchangeable with the unfused path."""
+    groups: int
+    eps: float = 1e-5
+    silu: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from diffusion_pruning_tpu.ops.group_norm import group_norm_silu
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return group_norm_silu(x.astype(self.dtype), scale, bias, self.groups,
+                               self.eps, self.silu,
+                               jax.default_backend() != "tpu")
 
 
 def conv3x3(features, name, dtype, param_dtype, stride=1):
@@ -47,8 +69,16 @@ class GatedResnetBlock(nn.Module):
     eps: float = 1e-5
     hidden_channels: Optional[int] = None
     hidden_groups: Optional[int] = None
+    fused_norms: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+
+    def _norm_silu(self, name, groups):
+        if self.fused_norms:
+            return FusedGroupNormSiLU(groups, self.eps, True, self.dtype, name=name)
+        gn = nn.GroupNorm(num_groups=groups, epsilon=self.eps, dtype=self.dtype,
+                          param_dtype=self.param_dtype, name=name)
+        return lambda x: nn.silu(gn(x))
 
     @nn.compact
     def __call__(self, x, temb, gate=None, depth_gate=None, identity=None):
@@ -58,18 +88,14 @@ class GatedResnetBlock(nn.Module):
         cin = x.shape[-1]
         hidden = self.hidden_channels or self.out_channels
         hgroups = self.hidden_groups or self.groups
-        h = nn.silu(nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
-                                 dtype=self.dtype, param_dtype=self.param_dtype,
-                                 name="norm1")(x))
+        h = self._norm_silu("norm1", self.groups)(x)
         h = conv3x3(hidden, "conv1", self.dtype, self.param_dtype)(h)
         t = nn.Dense(hidden, dtype=self.dtype, param_dtype=self.param_dtype,
                      name="time_emb_proj")(nn.silu(temb))
         h = h + t[:, None, None, :]
         if gate is not None:
             h = channel_gate(h, gate)
-        h = nn.silu(nn.GroupNorm(num_groups=hgroups, epsilon=self.eps,
-                                 dtype=self.dtype, param_dtype=self.param_dtype,
-                                 name="norm2")(h))
+        h = self._norm_silu("norm2", hgroups)(h)
         h = conv3x3(self.out_channels, "conv2", self.dtype, self.param_dtype)(h)
         shortcut = x
         if cin != self.out_channels:
@@ -96,6 +122,7 @@ class GatedTransformer2D(nn.Module):
     active_heads2: Optional[int] = None
     active_ff_inner: Optional[int] = None
     use_flash: bool = False
+    fused_norms: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -105,8 +132,12 @@ class GatedTransformer2D(nn.Module):
         slices (each possibly None)."""
         b, h, w, c = x.shape
         residual = x
-        y = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype,
-                         param_dtype=self.param_dtype, name="norm")(x)
+        if self.fused_norms:
+            y = FusedGroupNormSiLU(self.groups, 1e-6, False, self.dtype,
+                                   name="norm")(x)
+        else:
+            y = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype,
+                             param_dtype=self.param_dtype, name="norm")(x)
         y = y.reshape(b, h * w, c)
         if self.use_linear_projection:
             y = nn.Dense(self.channels, dtype=self.dtype, param_dtype=self.param_dtype,

@@ -77,6 +77,9 @@ class UNetConfig:
     # `gradient_checkpointing` flag) — trades ~30% step time for activation
     # memory, enabling larger per-device batches
     remat: bool = False
+    # one-pass Pallas GroupNorm+SiLU (ops/group_norm.py) — normalization
+    # reductions are ~34% of the XLA forward (see PERFORMANCE.md)
+    fused_norms: bool = False
 
     @property
     def num_levels(self) -> int:
@@ -91,7 +94,11 @@ class UNetConfig:
 
     @classmethod
     def sd21(cls, resolution: int = 256, **overrides) -> "UNetConfig":
-        """Stable Diffusion 2.1 U-Net at a given pixel resolution."""
+        """Stable Diffusion 2.1 U-Net at a given pixel resolution.
+
+        Flash attention defaults ON at production scale: parity at 256px,
+        2.5× end-to-end at 512px (PERFORMANCE.md)."""
+        overrides.setdefault("use_flash_attention", True)
         return cls(sample_size=resolution // 8, **overrides)
 
     @classmethod

@@ -129,8 +129,8 @@ class GatedUNet(nn.Module):
                 unit = keep.channels // keep.width
                 hidden, hgroups = len(keep.kept) * unit, len(keep.kept)
             return _resnet_cls(cout, cfg.norm_num_groups, cfg.norm_eps,
-                               hidden, hgroups, self.dtype, self.param_dtype,
-                               name=name)
+                               hidden, hgroups, cfg.fused_norms,
+                               self.dtype, self.param_dtype, name=name)
 
         def transformer(c, heads, name, sb_name):
             p = plan.get(sb_name)
@@ -144,7 +144,7 @@ class GatedUNet(nn.Module):
             return _transformer_cls(c, heads, cfg.cross_attention_dim, 1,
                                     cfg.norm_num_groups, cfg.use_linear_projection,
                                     h1, h2, ffi, cfg.use_flash_attention,
-                                    self.dtype, self.param_dtype,
+                                    cfg.fused_norms, self.dtype, self.param_dtype,
                                     name=name)
 
         def is_dropped(sb_name):

@@ -174,3 +174,22 @@ def test_remat_matches_non_remat(tiny):
     g = jax.grad(lambda a: (rmodel.apply({"params": params}, sample, t, ehs, arch=a)
                             .astype(jnp.float32) ** 2).mean())(arch)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_fused_norms_match_unfused(tiny):
+    """Pallas one-pass GroupNorm+SiLU == nn.GroupNorm + silu (same params)."""
+    import dataclasses
+    cfg, model, params, spec = tiny
+    fcfg = dataclasses.replace(cfg, fused_norms=True)
+    fmodel = GatedUNet(fcfg)
+    sample, t, ehs = _inputs(cfg, 2)
+    arch = (jax.random.uniform(jax.random.PRNGKey(13), (2, spec.vq_dim)) > 0.3
+            ).astype(jnp.float32)
+    base = model.apply({"params": params}, sample, t, ehs, arch=arch)
+    fused = fmodel.apply({"params": params}, sample, t, ehs, arch=arch)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
+                               atol=5e-4, rtol=5e-3)
+    g = jax.grad(lambda a: (fmodel.apply({"params": params}, sample, t, ehs, arch=a)
+                            .astype(jnp.float32) ** 2).mean())(
+        jnp.full((2, spec.vq_dim), 0.8))
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
