@@ -26,6 +26,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _pick_block(block_q: int, s_q: int, s_kv: int, live_mats: int) -> int:
+    """Shrink the q-block so `live_mats` (blk, s_kv) f32 intermediates fit in
+    scoped VMEM (~16 MB; budget ~8 MB for them)."""
+    blk = min(block_q, s_q)
+    while blk > 8 and blk * s_kv * 4 * live_mats > 8 * 1024 * 1024:
+        blk //= 2
+    return max(blk, 8)
+
+
 def _attn_kernel(g_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float, gated: bool):
     # g: scalar-prefetch (B*H,) in SMEM; q: (1, blk_q, d); k/v: (1, s_kv, d)
     q = q_ref[0].astype(jnp.float32)
@@ -66,7 +75,7 @@ def _flash_forward(
         return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
 
     qf, kf, vf = bh(q), bh(k), bh(v)
-    blk = min(block_q, s_q)
+    blk = _pick_block(block_q, s_q, s_kv, live_mats=2)
     grid = (b * h, pl.cdiv(s_q, blk))
 
     # gate rides as a scalar-prefetch array: full (B*H,) in SMEM, indexed by
@@ -97,6 +106,114 @@ def _flash_forward(
     return out.reshape(b, h, s_q, d).transpose(0, 2, 1, 3)
 
 
+def _flash_bwd_kernel(g_ref, q_ref, k_ref, v_ref, do_ref,
+                      dq_ref, dk_ref, dv_ref, *, scale: float, gated: bool):
+    """Backward for one (batch·head, q-block) grid step.
+
+    Works on the masked tensors q'=g·q etc. (gate applied on load), using the
+    standard SDPA backward with the softmax recomputed in VMEM — the S×S
+    score tensor never touches HBM. dk/dv accumulate across q-blocks directly
+    in their output blocks (same block for every j; grid steps for one i are
+    sequential on TPU)."""
+    j = pl.program_id(1)
+    g = g_ref[pl.program_id(0)].astype(jnp.float32) if gated else 1.0
+    q = q_ref[0].astype(jnp.float32) * g
+    k = k_ref[0].astype(jnp.float32) * g
+    v = v_ref[0].astype(jnp.float32) * g
+    do = do_ref[0].astype(jnp.float32)
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    p = e / denom
+
+    dv_blk = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # (s_kv, d)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)       # (blk, s_kv)
+    dsum = jnp.sum(p * dp, axis=-1, keepdims=True)
+    ds = p * (dp - dsum) * scale
+    dq_blk = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    dk_blk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+
+    dq_ref[0] = dq_blk.astype(dq_ref.dtype)
+
+    @pl.when(j == 0)
+    def _():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    dk_ref[0] += dk_blk.astype(dk_ref.dtype)
+    dv_ref[0] += dv_blk.astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, gate, do, block_q, interpret):
+    """Returns (dq, dk, dv, dgate) for the masked-SDPA semantics."""
+    b, s_q, h, d = q.shape
+    s_kv = k.shape[1]
+    scale = 1.0 / (d ** 0.5)
+    gated = gate is not None
+
+    def bh(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
+
+    qf, kf, vf, dof = bh(q), bh(k), bh(v), bh(do)
+    blk = _pick_block(block_q, s_q, s_kv, live_mats=4)
+    grid = (b * h, pl.cdiv(s_q, blk))
+    gf = (gate.astype(jnp.float32).reshape(b * h) if gated
+          else jnp.ones((1,), jnp.float32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, blk, d), lambda i, j, g: (i, j, 0)),
+            pl.BlockSpec((1, s_kv, d), lambda i, j, g: (i, 0, 0)),
+            pl.BlockSpec((1, s_kv, d), lambda i, j, g: (i, 0, 0)),
+            pl.BlockSpec((1, blk, d), lambda i, j, g: (i, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, blk, d), lambda i, j, g: (i, j, 0)),
+            pl.BlockSpec((1, s_kv, d), lambda i, j, g: (i, 0, 0)),
+            pl.BlockSpec((1, s_kv, d), lambda i, j, g: (i, 0, 0)),
+        ],
+    )
+    dqp, dkp, dvp = pl.pallas_call(
+        functools.partial(_flash_bwd_kernel, scale=scale, gated=gated),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, s_q, d), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, s_kv, d), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, s_kv, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(gf, qf, kf, vf, dof)
+
+    def unbh(x, s):
+        return x.reshape(b, h, s, d).transpose(0, 2, 1, 3)
+
+    dqp, dkp, dvp = unbh(dqp, s_q), unbh(dkp, s_kv), unbh(dvp, s_kv)
+    # chain rule through the per-head masks: x' = g·x
+    if gated:
+        gb = gate[:, None, :, None].astype(jnp.float32)
+        dq = (dqp * gb).astype(q.dtype)
+        dk = (dkp * gb).astype(k.dtype)
+        dv = (dvp * gb).astype(v.dtype)
+        dgate = jnp.sum(
+            dqp * q.astype(jnp.float32) + dvp * v.astype(jnp.float32),
+            axis=(1, 3),
+        ) + jnp.sum(dkp * k.astype(jnp.float32), axis=(1, 3))
+        dgate = dgate.astype(gate.dtype)
+    else:
+        dq, dk, dv, dgate = (dqp.astype(q.dtype), dkp.astype(k.dtype),
+                             dvp.astype(v.dtype), None)
+    return dq, dk, dv, dgate
+
+
 def _masked_sdpa(q, k, v, gate):
     """Reference semantics (HeadGatedAttnProcessor2): mask q/k/v per head,
     then SDPA — used as the differentiable backward of the Pallas forward."""
@@ -121,12 +238,8 @@ def _fa_fwd(q, k, v, gate, block_q, interpret):
 
 def _fa_bwd(block_q, interpret, res, g_out):
     q, k, v, gate = res
-    if gate is None:
-        _, vjp = jax.vjp(lambda a, b, c: _masked_sdpa(a, b, c, None), q, k, v)
-        dq, dk, dv = vjp(g_out)
-        return dq, dk, dv, None
-    _, vjp = jax.vjp(_masked_sdpa, q, k, v, gate)
-    return vjp(g_out)
+    dq, dk, dv, dgate = _flash_backward(q, k, v, gate, g_out, block_q, interpret)
+    return dq, dk, dv, dgate
 
 
 flash_attention.defvjp(_fa_fwd, _fa_bwd)

@@ -95,3 +95,28 @@ def test_flash_gradients_match_masked_sdpa():
     for g1, g2, name in zip(got, want, "qkvg"):
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                    atol=1e-4, rtol=1e-3, err_msg=name)
+
+
+def test_flash_backward_multi_qblock_accumulation():
+    """dk/dv accumulate across q-blocks in their output blocks — verify with
+    s_q spanning 4 blocks."""
+    key = jax.random.PRNGKey(8)
+    b, s, h, d = 1, 256, 2, 64
+    ks = jax.random.split(key, 4)
+    q = jax.random.normal(ks[0], (b, s, h, d))
+    k = jax.random.normal(ks[1], (b, s, h, d))
+    v = jax.random.normal(ks[2], (b, s, h, d))
+    gate = jax.random.uniform(ks[3], (b, h)) * 0.8 + 0.1
+
+    def loss_flash(q, k, v, g):
+        return (flash_attention(q, k, v, g, 64, True) ** 2).sum()
+
+    def loss_ref(q, k, v, g):
+        gg = g[:, None, :, None]
+        return (jax.nn.dot_product_attention(q * gg, k * gg, v * gg) ** 2).sum()
+
+    got = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, gate)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, gate)
+    for g1, g2, name in zip(got, want, "qkvg"):
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   atol=5e-4, rtol=1e-3, err_msg=name)
