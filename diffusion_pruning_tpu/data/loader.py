@@ -165,21 +165,33 @@ class DataPipeline:
         n = len(idx) // self.batch_size
         q: "queue_mod.Queue" = queue_mod.Queue(maxsize=self.prefetch)
         stop = object()
+        abandoned = threading.Event()
 
         def producer():
             for b in range(n):
                 sl = idx[b * self.batch_size:(b + 1) * self.batch_size]
                 pool = idx[(b + 1) * self.batch_size:(b + 1) * self.batch_size + 64]
-                q.put(self._make_batch(sl, rng, pool))
+                batch = self._make_batch(sl, rng, pool)
+                while not abandoned.is_set():  # don't block forever if the
+                    try:                        # consumer walked away
+                        q.put(batch, timeout=0.5)
+                        break
+                    except queue_mod.Full:
+                        continue
+                if abandoned.is_set():
+                    return
             q.put(stop)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                yield item
+        finally:
+            abandoned.set()
 
 
 def filter_dataset(

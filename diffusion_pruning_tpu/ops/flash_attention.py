@@ -203,10 +203,11 @@ def _flash_backward(q, k, v, gate, do, block_q, interpret):
         dq = (dqp * gb).astype(q.dtype)
         dk = (dkp * gb).astype(k.dtype)
         dv = (dvp * gb).astype(v.dtype)
-        dgate = jnp.sum(
-            dqp * q.astype(jnp.float32) + dvp * v.astype(jnp.float32),
-            axis=(1, 3),
-        ) + jnp.sum(dkp * k.astype(jnp.float32), axis=(1, 3))
+        # NB: q has s_q rows but k/v have s_kv (cross-attention) — reduce
+        # each term separately
+        dgate = (jnp.sum(dqp * q.astype(jnp.float32), axis=(1, 3))
+                 + jnp.sum(dkp * k.astype(jnp.float32), axis=(1, 3))
+                 + jnp.sum(dvp * v.astype(jnp.float32), axis=(1, 3)))
         dgate = dgate.astype(gate.dtype)
     else:
         dq, dk, dv, dgate = (dqp.astype(q.dtype), dkp.astype(k.dtype),

@@ -14,14 +14,11 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
-# Persistent compilation cache: repeated test runs skip XLA recompiles
-# (essential on low-core CI hosts where CPU compiles dominate runtime).
-# separate cache from the TPU one: XLA:CPU AOT entries are machine-feature
-# sensitive (mismatched features SIGILL on load)
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+# NO persistent compilation cache for CPU tests: under the axon remote-
+# compile environment, XLA:CPU executables are AOT-compiled on a DIFFERENT
+# host CPU; re-loading them from a cache aborts with SIGILL (machine-feature
+# mismatch — reproduced: cold suite passes, warm suite aborts in the
+# multi-device tests). Cold compiles cost a few extra minutes but are safe.
 
 import pytest  # noqa: E402
 

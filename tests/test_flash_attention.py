@@ -120,3 +120,28 @@ def test_flash_backward_multi_qblock_accumulation():
     for g1, g2, name in zip(got, want, "qkvg"):
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                    atol=5e-4, rtol=1e-3, err_msg=name)
+
+
+def test_flash_backward_cross_attention():
+    """Cross-attention (s_q != s_kv) gradients — the dgate reduction must not
+    mix the two sequence lengths."""
+    key = jax.random.PRNGKey(9)
+    b, sq, skv, h, d = 1, 64, 77, 2, 64
+    ks = jax.random.split(key, 4)
+    q = jax.random.normal(ks[0], (b, sq, h, d))
+    k = jax.random.normal(ks[1], (b, skv, h, d))
+    v = jax.random.normal(ks[2], (b, skv, h, d))
+    gate = jax.random.uniform(ks[3], (b, h)) * 0.8 + 0.1
+
+    def loss_flash(q, k, v, g):
+        return (flash_attention(q, k, v, g, 512, True) ** 2).sum()
+
+    def loss_ref(q, k, v, g):
+        gg = g[:, None, :, None]
+        return (jax.nn.dot_product_attention(q * gg, k * gg, v * gg) ** 2).sum()
+
+    got = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, gate)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, gate)
+    for g1, g2, name in zip(got, want, "qkvg"):
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   atol=5e-4, rtol=1e-3, err_msg=name)
