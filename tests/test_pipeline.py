@@ -128,3 +128,30 @@ def test_vae_roundtrip_shapes():
     assert lat.shape == (1, 16, 16, cfg.latent_channels)  # one downsample level
     rec = vae.apply({"params": params}, lat, method=AutoencoderKL.decode)
     assert rec.shape == x.shape
+
+
+def test_expert_server_dispatch(tiny_pipeline):
+    """Route a mixed batch to materialised experts; outputs align with
+    prompt order and every prompt is served by its assigned expert."""
+    import numpy as np
+    from diffusion_pruning_tpu.pipelines.expert_server import ExpertServer
+
+    p = tiny_pipeline
+    cfg = p.unet.cfg
+    spec = p.unet.spec
+    server = ExpertServer.from_codebook(p, p.unet_params, spec, cfg, batch_size=2)
+    assert len(server.expert_models) == p.quantizer.n_e
+    assert all(0 < r <= 1.0 for r in server.expert_ratios)
+
+    ids = jnp.asarray(jax.random.randint(jax.random.PRNGKey(0), (5, cfg.max_text_len),
+                                         0, 100))
+    neg = jnp.zeros((1, cfg.max_text_len), jnp.int32)
+    images, indices = server.generate(ids, neg, jax.random.PRNGKey(1),
+                                      num_inference_steps=2)
+    vs = p.vae.cfg.spatial_scale
+    assert images.shape == (5, cfg.sample_size * vs, cfg.sample_size * vs, 3)
+    assert indices.shape == (5,)
+    assert np.isfinite(images).all()
+    # routing is deterministic: same prompts → same experts
+    indices2 = server.route(ids)
+    np.testing.assert_array_equal(indices, indices2)
