@@ -28,15 +28,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _pick_block(block_q: int, s_q: int, s_kv: int, live_mats: int) -> int:
     """Shrink the q-block so `live_mats` (blk, s_kv) f32 intermediates fit in
-    scoped VMEM (~16 MB; budget ~8 MB for them)."""
+    scoped VMEM (~16 MB total; k/v/dk/dv buffers and double-buffered input
+    blocks take several MB, so budget ~6 MB for the score-sized mats —
+    empirically blk=128 at s_kv=4096 still OOMs inside a large graph)."""
     blk = min(block_q, s_q)
-    while blk > 8 and blk * s_kv * 4 * live_mats > 8 * 1024 * 1024:
+    while blk > 8 and blk * s_kv * 4 * live_mats > 6 * 1024 * 1024:
         blk //= 2
     return max(blk, 8)
 
 
-def _attn_kernel(g_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float, gated: bool):
+def _attn_kernel(g_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
+                 gated: bool):
     # g: scalar-prefetch (B*H,) in SMEM; q: (1, blk_q, d); k/v: (1, s_kv, d)
+    # lse: (1, blk_q, 1) logsumexp of the MASKED scores — the backward
+    # kernels rebuild their own score blocks from it.
     q = q_ref[0].astype(jnp.float32)
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
@@ -55,6 +60,7 @@ def _attn_kernel(g_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float, gated: bool
     if gated:
         o = o * g_ref[pl.program_id(0)].astype(jnp.float32)
     o_ref[0] = o.astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(denom)
 
 
 def _flash_forward(
@@ -95,64 +101,87 @@ def _flash_forward(
             pl.BlockSpec((1, s_kv, d), lambda i, j, g: (i, 0, 0)),
             pl.BlockSpec((1, s_kv, d), lambda i, j, g: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, blk, d), lambda i, j, g: (i, j, 0)),
+        out_specs=[
+            pl.BlockSpec((1, blk, d), lambda i, j, g: (i, j, 0)),
+            pl.BlockSpec((1, blk, 1), lambda i, j, g: (i, j, 0)),
+        ],
     )
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale, gated=gated),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b * h, s_q, d), q.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, s_q, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, s_q, 1), jnp.float32),
+        ],
         interpret=interpret,
     )(gf, qf, kf, vf)
-    return out.reshape(b, h, s_q, d).transpose(0, 2, 1, 3)
+    return out.reshape(b, h, s_q, d).transpose(0, 2, 1, 3), lse
 
 
-def _flash_bwd_kernel(g_ref, q_ref, k_ref, v_ref, do_ref,
-                      dq_ref, dk_ref, dv_ref, *, scale: float, gated: bool):
-    """Backward for one (batch·head, q-block) grid step.
-
-    Works on the masked tensors q'=g·q etc. (gate applied on load), using the
-    standard SDPA backward with the softmax recomputed in VMEM — the S×S
-    score tensor never touches HBM. dk/dv accumulate across q-blocks directly
-    in their output blocks (same block for every j; grid steps for one i are
-    sequential on TPU)."""
-    j = pl.program_id(1)
+def _flash_bwd_dq_kernel(g_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                         dq_ref, delta_ref, *, scale: float, gated: bool):
+    """dq for one (batch·head, q-block): p recomputed from the saved
+    logsumexp. Also emits δ = rowsum(do∘o) (o rebuilt in-kernel, so the
+    forward output need not be kept as a residual in HBM)."""
     g = g_ref[pl.program_id(0)].astype(jnp.float32) if gated else 1.0
     q = q_ref[0].astype(jnp.float32) * g
     k = k_ref[0].astype(jnp.float32) * g
     v = v_ref[0].astype(jnp.float32) * g
     do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]                     # (blk, 1) f32
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    denom = jnp.sum(e, axis=-1, keepdims=True)
-    p = e / denom
-
-    dv_blk = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)  # (s_kv, d)
+    p = jnp.exp(s - lse)
+    # v is already masked (v' = g·v), so o = p@v' IS the forward output
+    o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    delta = jnp.sum(do * o, axis=-1, keepdims=True)       # (blk, 1)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)       # (blk, s_kv)
-    dsum = jnp.sum(p * dp, axis=-1, keepdims=True)
-    ds = p * (dp - dsum) * scale
-    dq_blk = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-    dk_blk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-
-    dq_ref[0] = dq_blk.astype(dq_ref.dtype)
-
-    @pl.when(j == 0)
-    def _():
-        dk_ref[0] = jnp.zeros_like(dk_ref[0])
-        dv_ref[0] = jnp.zeros_like(dv_ref[0])
-
-    dk_ref[0] += dk_blk.astype(dk_ref.dtype)
-    dv_ref[0] += dv_blk.astype(dv_ref.dtype)
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta) * scale
+    dq_ref[0] = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32
+                                    ).astype(dq_ref.dtype)
+    delta_ref[0] = delta
 
 
-def _flash_backward(q, k, v, gate, do, block_q, interpret):
-    """Returns (dq, dk, dv, dgate) for the masked-SDPA semantics."""
+def _flash_bwd_dkv_kernel(g_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                          dk_ref, dv_ref, *, scale: float, gated: bool):
+    """dk/dv for one (batch·head, kv-block): no cross-step accumulation.
+
+    Works in the transposed (blk_kv, s_q) score layout so lse/delta ride as
+    (1, s_q) ROW vectors — a (s_q, 1) column block pads its lane dim 1→128
+    in VMEM (8 MB of waste at 4096 tokens)."""
+    g = g_ref[pl.program_id(0)].astype(jnp.float32) if gated else 1.0
+    q = q_ref[0].astype(jnp.float32) * g           # (s_q, d)
+    k = k_ref[0].astype(jnp.float32) * g           # (blk_kv, d)
+    v = v_ref[0].astype(jnp.float32) * g
+    do = do_ref[0].astype(jnp.float32)             # (s_q, d)
+    lse = lse_ref[0]                               # (1, s_q)
+    delta = delta_ref[0]                           # (1, s_q)
+
+    s_t = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32) * scale  # (blk_kv, s_q)
+    p_t = jnp.exp(s_t - lse)
+    dv_ref[0] = jax.lax.dot_general(p_t, do, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32
+                                    ).astype(dv_ref.dtype)                 # (blk_kv, d)
+    dp_t = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)          # (blk_kv, s_q)
+    ds_t = p_t * (dp_t - delta) * scale
+    dk_ref[0] = jax.lax.dot_general(ds_t, q, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32
+                                    ).astype(dk_ref.dtype)
+
+
+def _flash_backward(q, k, v, gate, lse, do, block_q, interpret):
+    """Returns (dq, dk, dv, dgate) for the masked-SDPA semantics.
+
+    Textbook two-kernel flash backward: the forward's logsumexp is saved so
+    both kernels recompute only their own score block. The dq kernel also
+    rebuilds o and emits δ = rowsum(do∘o) for the dkv kernel — keeping the
+    forward output out of the residuals (HBM)."""
     b, s_q, h, d = q.shape
     s_kv = k.shape[1]
     scale = 1.0 / (d ** 0.5)
@@ -162,36 +191,64 @@ def _flash_backward(q, k, v, gate, do, block_q, interpret):
         return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
 
     qf, kf, vf, dof = bh(q), bh(k), bh(v), bh(do)
-    blk = _pick_block(block_q, s_q, s_kv, live_mats=4)
-    grid = (b * h, pl.cdiv(s_q, blk))
     gf = (gate.astype(jnp.float32).reshape(b * h) if gated
           else jnp.ones((1,), jnp.float32))
+    lsef = lse  # (b*h, s_q, 1)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
+    blk_q = _pick_block(block_q, s_q, s_kv, live_mats=4)
+    dq_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=grid,
+        grid=(b * h, pl.cdiv(s_q, blk_q)),
         in_specs=[
-            pl.BlockSpec((1, blk, d), lambda i, j, g: (i, j, 0)),
+            pl.BlockSpec((1, blk_q, d), lambda i, j, g: (i, j, 0)),
             pl.BlockSpec((1, s_kv, d), lambda i, j, g: (i, 0, 0)),
             pl.BlockSpec((1, s_kv, d), lambda i, j, g: (i, 0, 0)),
-            pl.BlockSpec((1, blk, d), lambda i, j, g: (i, j, 0)),
+            pl.BlockSpec((1, blk_q, d), lambda i, j, g: (i, j, 0)),
+            pl.BlockSpec((1, blk_q, 1), lambda i, j, g: (i, j, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, blk, d), lambda i, j, g: (i, j, 0)),
-            pl.BlockSpec((1, s_kv, d), lambda i, j, g: (i, 0, 0)),
-            pl.BlockSpec((1, s_kv, d), lambda i, j, g: (i, 0, 0)),
+            pl.BlockSpec((1, blk_q, d), lambda i, j, g: (i, j, 0)),
+            pl.BlockSpec((1, blk_q, 1), lambda i, j, g: (i, j, 0)),
         ],
     )
-    dqp, dkp, dvp = pl.pallas_call(
-        functools.partial(_flash_bwd_kernel, scale=scale, gated=gated),
-        grid_spec=grid_spec,
+    dqp, deltaf = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale, gated=gated),
+        grid_spec=dq_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b * h, s_q, d), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, s_q, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(gf, qf, kf, vf, dof, lsef)
+
+    lse_row = lsef.reshape(b * h, 1, s_q)
+    delta_row = deltaf.reshape(b * h, 1, s_q)
+    blk_kv = _pick_block(block_q, s_kv, s_q, live_mats=4)
+    dkv_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b * h, pl.cdiv(s_kv, blk_kv)),
+        in_specs=[
+            pl.BlockSpec((1, s_q, d), lambda i, j, g: (i, 0, 0)),
+            pl.BlockSpec((1, blk_kv, d), lambda i, j, g: (i, j, 0)),
+            pl.BlockSpec((1, blk_kv, d), lambda i, j, g: (i, j, 0)),
+            pl.BlockSpec((1, s_q, d), lambda i, j, g: (i, 0, 0)),
+            pl.BlockSpec((1, 1, s_q), lambda i, j, g: (i, 0, 0)),
+            pl.BlockSpec((1, 1, s_q), lambda i, j, g: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, blk_kv, d), lambda i, j, g: (i, j, 0)),
+            pl.BlockSpec((1, blk_kv, d), lambda i, j, g: (i, j, 0)),
+        ],
+    )
+    dkp, dvp = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale, gated=gated),
+        grid_spec=dkv_spec,
+        out_shape=[
             jax.ShapeDtypeStruct((b * h, s_kv, d), jnp.float32),
             jax.ShapeDtypeStruct((b * h, s_kv, d), jnp.float32),
         ],
         interpret=interpret,
-    )(gf, qf, kf, vf, dof)
+    )(gf, qf, kf, vf, dof, lse_row, delta_row)
 
     def unbh(x, s):
         return x.reshape(b, h, s, d).transpose(0, 2, 1, 3)
@@ -227,19 +284,22 @@ def _masked_sdpa(q, k, v, gate):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def flash_attention(q, k, v, gate=None, block_q: int = 512,
                     interpret: bool = False):
-    """Head-gated flash attention: Pallas forward, XLA-recompute backward
-    (gradients flow to q/k/v AND the gate, matching the reference exactly —
-    the gate gradient is what trains the hypernet/codebook)."""
-    return _flash_forward(q, k, v, gate, block_q, interpret)
+    """Head-gated flash attention: Pallas forward + Pallas two-kernel
+    backward (gradients flow to q/k/v AND the gate, matching the reference
+    exactly — the gate gradient is what trains the hypernet/codebook)."""
+    out, _ = _flash_forward(q, k, v, gate, block_q, interpret)
+    return out
 
 
 def _fa_fwd(q, k, v, gate, block_q, interpret):
-    return _flash_forward(q, k, v, gate, block_q, interpret), (q, k, v, gate)
+    out, lse = _flash_forward(q, k, v, gate, block_q, interpret)
+    return out, (q, k, v, gate, lse)
 
 
 def _fa_bwd(block_q, interpret, res, g_out):
-    q, k, v, gate = res
-    dq, dk, dv, dgate = _flash_backward(q, k, v, gate, g_out, block_q, interpret)
+    q, k, v, gate, lse = res
+    dq, dk, dv, dgate = _flash_backward(q, k, v, gate, lse, g_out,
+                                        block_q, interpret)
     return dq, dk, dv, dgate
 
 
