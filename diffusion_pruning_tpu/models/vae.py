@@ -154,5 +154,10 @@ class AutoencoderKL(nn.Module):
             mean = mean + jnp.exp(0.5 * logvar) * jax.random.normal(key, mean.shape, mean.dtype)
         return mean * self.cfg.scaling_factor
 
+    def encode_moments(self, x):
+        """UNSCALED latent distribution moments — the latent-cache format
+        (data/latent_cache.py); the train step applies scaling_factor."""
+        return self.encoder(x)
+
     def decode(self, z):
         return self.decoder(z / self.cfg.scaling_factor)

@@ -75,8 +75,14 @@ def _losses(mods: FineTunerModules, cfg: FineTuneConfig,
             student_params, frozen, batch, key):
     k_vae, k_noise, k_t, k_off, k_pert = jax.random.split(key, 5)
     sched = mods.schedule
-    latents = mods.vae.apply({"params": frozen["vae"]}, batch["pixel_values"],
-                             k_vae, method=AutoencoderKL.encode)
+    if "latent_mean" in batch:
+        mean = batch["latent_mean"]
+        std = jnp.exp(0.5 * batch["latent_logvar"])
+        latents = (mean + std * jax.random.normal(k_vae, mean.shape, mean.dtype)
+                   ) * mods.vae.cfg.scaling_factor
+    else:
+        latents = mods.vae.apply({"params": frozen["vae"]}, batch["pixel_values"],
+                                 k_vae, method=AutoencoderKL.encode)
     latents = jax.lax.stop_gradient(latents)
     ehs = mods.text_encoder.apply({"params": frozen["text"]}, batch["input_ids"])
     ehs = jax.lax.stop_gradient(ehs)

@@ -124,7 +124,8 @@ class PrunerLoop:
                 if place_batch is not None:
                     batch = place_batch(batch)
                 batch = {k: v for k, v in batch.items()
-                         if k in ("pixel_values", "input_ids", "mpnet_embeddings")}
+                         if k in ("pixel_values", "input_ids", "mpnet_embeddings",
+                                  "latent_mean", "latent_logvar")}
                 self.key, sub = jax.random.split(self.key)
                 (self.trainable, self.opt_state, self.q_state,
                  metrics, aux) = self.step_fns[pretrain](
@@ -165,7 +166,8 @@ class PrunerLoop:
             if place_batch is not None:
                 batch = place_batch(batch)
             batch = {k: v for k, v in batch.items()
-                     if k in ("pixel_values", "input_ids", "mpnet_embeddings")}
+                     if k in ("pixel_values", "input_ids", "mpnet_embeddings",
+                                  "latent_mean", "latent_logvar")}
             self.key, sub = jax.random.split(self.key)
             m = self.val_fn(self.trainable, self.frozen, batch, sub)
             for k, v in m.items():
@@ -244,7 +246,7 @@ class FineTuneLoop:
                 if place_batch is not None:
                     batch = place_batch(batch)
                 batch = {k: v for k, v in batch.items()
-                         if k in ("pixel_values", "input_ids")}
+                         if k in ("pixel_values", "input_ids", "latent_mean", "latent_logvar")}
                 self.key, sub = jax.random.split(self.key)
                 self.params, self.opt_state, metrics = self.step_fn(
                     self.params, self.frozen, self.opt_state, batch, sub)

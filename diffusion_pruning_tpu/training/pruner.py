@@ -132,9 +132,16 @@ def _compute_losses(
     k_q = shared_key
     sched = mods.schedule
 
-    # frozen encoders
-    latents = mods.vae.apply({"params": frozen["vae"]}, batch["pixel_values"],
-                             k_vae, method=AutoencoderKL.encode)
+    # frozen encoders; with a latent cache (data/latent_cache.py) the VAE
+    # encode drops out of the step entirely
+    if "latent_mean" in batch:
+        mean = batch["latent_mean"]
+        std = jnp.exp(0.5 * batch["latent_logvar"])
+        latents = (mean + std * jax.random.normal(k_vae, mean.shape, mean.dtype)
+                   ) * mods.vae.cfg.scaling_factor
+    else:
+        latents = mods.vae.apply({"params": frozen["vae"]}, batch["pixel_values"],
+                                 k_vae, method=AutoencoderKL.encode)
     latents = jax.lax.stop_gradient(latents)
     ehs = mods.text_encoder.apply({"params": frozen["text"]}, batch["input_ids"])
     ehs = jax.lax.stop_gradient(ehs)

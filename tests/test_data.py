@@ -131,3 +131,36 @@ def test_pipeline_native_and_pil_agree(tmp_path):
     xa = next(iter(a.epoch(0)))["pixel_values"]
     xb = next(iter(b.epoch(0)))["pixel_values"]
     assert np.abs(xa - xb).mean() < 0.05
+
+
+def test_latent_cache_roundtrip(tmp_path):
+    """Cache VAE moments once, train-feed from the cache with flip aug."""
+    import jax
+    import jax.numpy as jnp
+    from diffusion_pruning_tpu.data.latent_cache import LatentPipeline, build_latent_cache
+
+    n, h, c = 10, 4, 3
+
+    def fake_batches():
+        for i in range(2):
+            yield {"pixel_values": np.full((5, 32, 32, 3), i, np.float32),
+                   "captions": np.asarray([f"c{i}_{j}" for j in range(5)], object)}
+
+    def encode(px):
+        m = jnp.mean(px, axis=3, keepdims=True) * jnp.ones((1, 1, 1, 4))
+        return m[:, ::8, ::8, :], jnp.zeros_like(m[:, ::8, ::8, :])
+
+    shards = build_latent_cache(fake_batches(), encode, str(tmp_path), shard_size=6)
+    assert len(shards) >= 1
+    pipe = LatentPipeline(str(tmp_path), batch_size=4, train=True, seed=0)
+    batches = list(pipe.epoch(0))
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["latent_mean"].shape == (4, 4, 4, 4)
+    assert b["latent_logvar"].shape == (4, 4, 4, 4)
+    assert len(b["captions"]) == 4
+    # eval path deterministic
+    pe = LatentPipeline(str(tmp_path), batch_size=4, train=False)
+    a1 = next(iter(pe.epoch(0)))["latent_mean"]
+    a2 = next(iter(pe.epoch(0)))["latent_mean"]
+    np.testing.assert_array_equal(a1, a2)

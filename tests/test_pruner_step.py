@@ -114,3 +114,24 @@ def test_validation_step(setup, devices):
     batch = shard_batch(mesh, _batch(mods, 8))
     metrics = val(trainable, frozen, batch, jax.random.PRNGKey(4))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_step_with_cached_latents(setup):
+    """The train step consumes latent-cache batches (no VAE encode)."""
+    mods, frozen, trainable, spec = setup
+    cfg = PrunerConfig(lr_warmup_steps=0, scale_lr=False)
+    opt = make_optimizer(cfg, global_batch=4)
+    step = make_pruner_step(mods, cfg, opt, mesh=None, pretrain=False)
+    opt_state = opt.init(trainable)
+    # latent spatial size must match the U-Net sample_size
+    s = mods.unet.cfg.sample_size
+    ks = jax.random.split(jax.random.PRNGKey(4), 3)
+    batch = {
+        "latent_mean": jax.random.normal(ks[0], (4, s, s, 4)),
+        "latent_logvar": jnp.full((4, s, s, 4), -6.0),
+        "input_ids": jax.random.randint(ks[1], (4, 77), 0, 128),
+        "mpnet_embeddings": jax.random.normal(ks[2], (4, 24)),
+    }
+    _, _, _, metrics, _ = step(trainable, frozen, opt_state, batch,
+                               jax.random.PRNGKey(5))
+    assert np.isfinite(float(metrics["loss"]))
