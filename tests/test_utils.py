@@ -1,0 +1,57 @@
+"""Utility-layer tests: launch sharding, model card, logging artifacts."""
+import json
+import os
+
+import numpy as np
+
+from diffusion_pruning_tpu.utils.logging_utils import Tracker, heatmap_image, image_grid
+from diffusion_pruning_tpu.utils.model_card import write_model_card
+
+
+def test_process_slice_covers_everything(monkeypatch):
+    import diffusion_pruning_tpu.utils.launch as launch
+
+    class FakeJax:
+        @staticmethod
+        def process_count():
+            return 3
+
+    for pid in range(3):
+        monkeypatch.setattr(launch.jax, "process_count", lambda: 3)
+        monkeypatch.setattr(launch.jax, "process_index", lambda p=pid: p)
+        sl = launch.process_slice(10)
+        assert isinstance(sl, slice)
+    # union of slices covers [0, 10) without overlap
+    monkeypatch.setattr(launch.jax, "process_count", lambda: 3)
+    seen = []
+    for pid in range(3):
+        monkeypatch.setattr(launch.jax, "process_index", lambda p=pid: p)
+        sl = launch.process_slice(10)
+        seen.extend(range(*sl.indices(10)))
+    assert sorted(seen) == list(range(10))
+
+
+def test_tracker_jsonl(tmp_path):
+    t = Tracker(str(tmp_path))
+    t.log({"loss": 1.5, "ratio": np.float32(0.6)}, step=3)
+    t.log({"loss": 1.2}, step=4)
+    t.close()
+    lines = [json.loads(x) for x in open(os.path.join(tmp_path, "metrics.jsonl"))]
+    assert lines[0] == {"step": 3, "loss": 1.5, "ratio": 0.6000000238418579}
+    assert lines[1]["step"] == 4
+
+
+def test_heatmap_and_grid_images():
+    hm = heatmap_image(np.random.RandomState(0).rand(8, 8))
+    assert hm.size == (64, 64)
+    grid = image_grid(np.random.RandomState(1).rand(6, 16, 16, 3), cols=3)
+    assert grid.size == (48, 32)  # 3 cols × 16, 2 rows × 16
+
+
+def test_model_card(tmp_path):
+    path = write_model_card(str(tmp_path), "sd-2-1", "coco", expert_id=3,
+                            macs_ratio=0.61, prompts=["a cat"],
+                            extra={"steps": 30000})
+    text = open(path).read()
+    assert "expert 3" in text and "0.610" in text and "a cat" in text
+    assert "base_model: sd-2-1" in text
