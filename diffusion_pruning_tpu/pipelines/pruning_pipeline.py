@@ -54,19 +54,36 @@ class PruningPipeline:
             return PNDMSampler(self.schedule)
         return DDIMSampler(self.schedule)
 
+    def _jitted(self, name, fn):
+        """Per-instance jit cache — every pipeline stage must run as one
+        compiled program (eager op-by-op dispatch is pathological on remote
+        TPU runtimes; params stay jit ARGUMENTS, never closure constants)."""
+        cache = getattr(self, "_fn_cache", None)
+        if cache is None:
+            cache = self._fn_cache = {}
+        if name not in cache:
+            cache[name] = jax.jit(fn)
+        return cache[name]
+
     # ------------------------------------------------------------------
 
     def encode_prompt(self, input_ids: jax.Array) -> jax.Array:
-        return self.text_encoder.apply({"params": self.text_params}, input_ids)
+        fn = self._jitted("encode_prompt",
+                          lambda p, ids: self.text_encoder.apply({"params": p}, ids))
+        return fn(self.text_params, input_ids)
 
     def route(self, prompt_embeds: jax.Array, hyper_net_input: Optional[jax.Array] = None):
         """Hypernet + quantizer eval routing (pruning_pipelines.py:746-759).
 
         Returns (arch (B, vq_dim) hard gates, expert indices)."""
         feats = hyper_net_input if hyper_net_input is not None else prompt_embeds.mean(axis=1)
-        logits = self.hypernet.apply({"params": self.hypernet_params}, feats)
-        arch, indices = self.quantizer.forward_eval(self.quantizer_state, logits)
-        return arch, indices
+
+        def _route(hp, qstate, f):
+            logits = self.hypernet.apply({"params": hp}, f)
+            return self.quantizer.forward_eval(qstate, logits)
+
+        fn = self._jitted("route", _route)
+        return fn(self.hypernet_params, self.quantizer_state, feats)
 
     def _denoise_fn(self, num_inference_steps: int, guidance_scale: float, gated: bool):
         """Jitted CFG denoising trajectory, cached per (steps, scale, gated).
@@ -114,8 +131,10 @@ class PruningPipeline:
 
     def decode(self, latents: jax.Array) -> jax.Array:
         """Latents → uint8-range images in [0, 1], NHWC."""
-        img = self.vae.apply({"params": self.vae_params}, latents, method=AutoencoderKL.decode)
-        return jnp.clip(img / 2 + 0.5, 0.0, 1.0)
+        fn = self._jitted("decode", lambda p, z: jnp.clip(
+            self.vae.apply({"params": p}, z, method=AutoencoderKL.decode
+                           ).astype(jnp.float32) / 2 + 0.5, 0.0, 1.0))
+        return fn(self.vae_params, latents)
 
     # ------------------------------------------------------------------
 
