@@ -112,6 +112,7 @@ class StructureQuantizer:
         if key is None:
             key = FIXED_KEY
         kw, kd = jax.random.split(key)
+        z = jnp.asarray(z)
         zw = z[:, : spec.num_width]
         zd = z[:, spec.num_width:]
 
@@ -141,6 +142,7 @@ class StructureQuantizer:
         slots by 1/√group_size (and optionally by the prunable-MACs
         template)."""
         spec = self.spec
+        x = jnp.asarray(x)  # snapshots may arrive as numpy (checkpoint restore)
         out = hard_concrete(x)
         soft_mask = np.zeros(self.vq_dim, dtype=np.float32)
         depth_col = np.zeros(self.vq_dim, dtype=np.int32)

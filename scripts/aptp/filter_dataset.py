@@ -43,11 +43,7 @@ def main():
     quantizer, q_params = build_quantizer(spec, cfg)
 
     mgr = CheckpointManager(args.pruning_ckpt_dir)
-    restored = mgr.restore(template={
-        "trainable": {"hypernet": hn_params, "quantizer": q_params},
-        "opt_state": None, "q_state": {"embedding_gs": np.zeros((quantizer.n_e, spec.vq_dim),
-                                                                np.float32)},
-        "step": np.asarray(0)})
+    restored = mgr.restore()  # structure-free restore; pick what we need
     hn_params = restored["trainable"]["hypernet"]
     q_state = restored["q_state"]
 
@@ -55,7 +51,9 @@ def main():
         from transformers import AutoTokenizer
         tok = AutoTokenizer.from_pretrained(args.prompt_encoder_model_name_or_path)
     else:
-        tok = None
+        from diffusion_pruning_tpu.data.dummy_tokenizer import DummyTokenizer
+        print("[smoke] MPNet tokenizer missing — dummy hash tokenizer", file=sys.stderr)
+        tok = DummyTokenizer(vocab_size=mpnet.cfg.vocab_size, max_length=32)
 
     @jax.jit
     def route(emb):
@@ -69,7 +67,15 @@ def main():
                           jnp.asarray(enc["attention_mask"]))
         return np.asarray(mean_pool(out, jnp.asarray(enc["attention_mask"])))
 
-    splits = get_dataset(cfg.data)
+    data_dir = cfg.data.get("data_dir") or ""
+    if os.path.exists(data_dir):
+        splits = get_dataset(cfg.data)
+    else:
+        print(f"[smoke] dataset dir {data_dir!r} missing — synthetic captions",
+              file=sys.stderr)
+        splits = {s: {"caption": [f"{s} prompt number {i} about topic {i % 7}"
+                                  for i in range(64)]}
+                  for s in ("train", "validation")}
     for split, cols in splits.items():
         idx = filter_dataset(cols["caption"], embed, lambda e: route(jnp.asarray(e)))
         out = os.path.join(args.pruning_ckpt_dir,
