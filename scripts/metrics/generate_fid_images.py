@@ -71,19 +71,33 @@ def main():
                            schedule=DiffusionSchedule(), sampler="pndm")
 
     # prompts: the expert's val subset
-    splits = get_dataset(cfg.data)
-    caps = splits["validation"]["caption"]
+    data_dir = cfg.data.get("data_dir") or ""
+    if os.path.exists(data_dir):
+        splits = get_dataset(cfg.data)
+        caps = splits["validation"]["caption"]
+    else:
+        print(f"[smoke] dataset dir {data_dir!r} missing — synthetic captions",
+              file=sys.stderr)
+        caps = None  # sized to the mapped-indices file below
     idx_path = os.path.join(args.pruning_ckpt_dir,
                             f"{cfg.data.dataset_name}_validation_mapped_indices.pt")
     if os.path.exists(idx_path):
         assigned = np.asarray(load_torch_artifact(idx_path))
+        if caps is None:
+            caps = [f"validation prompt {i}" for i in range(len(assigned))]
         caps = [caps[i] for i in np.nonzero(assigned == args.expert_id)[0]]
+    elif caps is None:
+        caps = [f"validation prompt {i}" for i in range(8)]
     max_n = cfg.data.get("max_generated_samples")
     if max_n:
         caps = caps[:max_n]
 
-    from transformers import CLIPTokenizer
-    clip_tok = CLIPTokenizer.from_pretrained(os.path.join(sd_root, "tokenizer"))
+    if os.path.exists(os.path.join(sd_root or "", "tokenizer")):
+        from transformers import CLIPTokenizer
+        clip_tok = CLIPTokenizer.from_pretrained(os.path.join(sd_root, "tokenizer"))
+    else:
+        from diffusion_pruning_tpu.data.dummy_tokenizer import DummyTokenizer
+        clip_tok = DummyTokenizer(vocab_size=128, max_length=77)
 
     def tok(c):
         return jnp.asarray(clip_tok(c, max_length=77, padding="max_length",
