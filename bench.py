@@ -7,12 +7,13 @@ pruning_pipelines.py:767-814). Weights are random (no checkpoint egress);
 throughput depends only on architecture + shapes.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N | null}
 
-vs_baseline: the reference paper's A100 PyTorch pipeline for SD-2.1 at
-256px/batch runs ~O(1) img/s/GPU at DDIM-25 with CFG; BASELINE.md pins no
-wall-clock number, so we report against a conservative 1.0 img/s/chip
-placeholder until the A100 recipe is measured.
+vs_baseline: ratio against a MEASURED baseline only. The reference repo
+publishes no wall-clock numbers (BASELINE.md) and no A100 is reachable from
+this environment, so the ratio is computed from
+BASELINE.json:published["a100_img_per_sec_ddim25_cfg_256px"] when someone
+has measured it, and is null otherwise — never an echo of our own value.
 """
 from __future__ import annotations
 
@@ -33,7 +34,18 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 def _log(msg):
     print(f"# bench: {msg}", file=sys.stderr, flush=True)
 
-A100_BASELINE_IMG_PER_SEC = 1.0  # placeholder; see BASELINE.md
+
+def _measured_baseline():
+    """A100 img/s at the same workload, if someone has measured it into
+    BASELINE.json. None (→ vs_baseline null) when absent."""
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BASELINE.json")) as f:
+            published = json.load(f).get("published", {})
+        v = published.get("a100_img_per_sec_ddim25_cfg_256px")
+        return float(v) if v else None
+    except Exception:
+        return None
 
 BATCH = int(os.environ.get("DPT_BENCH_BATCH", "4"))
 STEPS = 25
@@ -104,11 +116,12 @@ def main():
     dt = (time.perf_counter() - t0) / n_iters
 
     img_per_sec = BATCH / dt
+    baseline = _measured_baseline()
     print(json.dumps({
         "metric": f"ddim{STEPS}_cfg_images_per_sec_per_chip_{RES}px",
         "value": round(img_per_sec, 4),
         "unit": "images/sec",
-        "vs_baseline": round(img_per_sec / A100_BASELINE_IMG_PER_SEC, 4),
+        "vs_baseline": round(img_per_sec / baseline, 4) if baseline else None,
     }))
 
 

@@ -91,7 +91,8 @@ class GatedGEGLU(nn.Module):
         if gate is not None:
             h = channel_gate(h, gate)
             g = channel_gate(g, gate)
-        return h * nn.gelu(g)
+        # exact (erf) GELU: diffusers GEGLU uses F.gelu, not the tanh approx
+        return h * nn.gelu(g, approximate=False)
 
 
 class GatedFeedForward(nn.Module):

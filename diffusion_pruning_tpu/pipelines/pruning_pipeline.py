@@ -48,6 +48,10 @@ class PruningPipeline:
     quantizer_state: Optional[dict] = None
     schedule: DiffusionSchedule = dataclasses.field(default_factory=DiffusionSchedule)
     sampler: str = "ddim"
+    # optional models/safety.SafetyChecker (the reference pipeline's
+    # safety_checker + feature_extractor, pruning_pipelines.py:160-178,
+    # applied at :826-839); None = requires_safety_checker=False behaviour
+    safety_checker: Optional[object] = None
 
     def _sampler(self):
         if self.sampler == "pndm":
@@ -141,7 +145,9 @@ class PruningPipeline:
     def __call__(self, input_ids, neg_input_ids, key,
                  hyper_net_input=None, num_inference_steps=50, guidance_scale=7.5,
                  output_type="pil"):
-        """Routed generation. Returns (images, expert_indices, resource_ratios)."""
+        """Routed generation. Returns (images, expert_indices, resource_ratios)
+        — or a 4-tuple (+ nsfw_flags) when a safety_checker is configured,
+        with flagged images blacked out (pruning_pipelines.py:826-839)."""
         prompt_embeds = self.encode_prompt(input_ids)
         neg_embeds = self.encode_prompt(neg_input_ids)
         arch, indices = self.route(prompt_embeds, hyper_net_input)
@@ -149,6 +155,9 @@ class PruningPipeline:
                                num_inference_steps, guidance_scale)
         ratios = ResourceModel(self.unet.spec).resource_ratio(arch)
         images = self.decode(latents) if output_type != "latent" else latents
+        if self.safety_checker is not None and output_type != "latent":
+            images, nsfw = self.safety_checker(images)
+            return images, indices, ratios, nsfw
         return images, indices, ratios
 
     def generate_samples(self, input_ids, neg_input_ids, key, arch=None,
@@ -164,8 +173,10 @@ class PruningPipeline:
     def quantizer_samples(self, input_ids, neg_input_ids, key, expert_ids: Sequence[int],
                           num_inference_steps=50, guidance_scale=7.5):
         """Generate with each requested codebook entry's architecture
-        (pruning_pipelines.py:1232-1448)."""
-        codes = self.quantizer.codebook_gates(self.quantizer_params, key=None, hard=True)
+        (pruning_pipelines.py:1232-1448). Architectures come from the
+        embedding_gs snapshot — the same realisation eval routing and
+        expert materialisation use — never a fresh gumbel draw."""
+        codes = hard_concrete(jnp.asarray(self.quantizer_state["embedding_gs"]))
         arch = codes[jnp.asarray(expert_ids)]
         prompt_embeds = self.encode_prompt(input_ids)
         neg_embeds = self.encode_prompt(neg_input_ids)

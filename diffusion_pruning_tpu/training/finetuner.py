@@ -18,6 +18,7 @@ import dataclasses
 from typing import Any, Callable, Dict, Optional
 
 import jax
+import jax.flatten_util  # noqa: F401 (registers jax.flatten_util.ravel_pytree)
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
@@ -58,7 +59,11 @@ class FineTunerModules:
     schedule: DiffusionSchedule
 
 
-def make_finetune_optimizer(cfg: FineTuneConfig, global_batch: int):
+def make_finetune_optimizer(cfg: FineTuneConfig, global_batch: int,
+                            elementwise: bool = False):
+    """elementwise=True omits the global-norm clip wrapper — required for
+    ZeRO-1, where the optimizer sees only a 1/N shard and a shard-local
+    "global" norm would be wrong; the step clips the full gradients instead."""
     lr = cfg.unet_lr * (global_batch ** 0.5 if cfg.scale_lr else 1.0)
     sched = optax.join_schedules(
         [optax.linear_schedule(0.0, lr, cfg.lr_warmup_steps),
@@ -66,7 +71,7 @@ def make_finetune_optimizer(cfg: FineTuneConfig, global_batch: int):
         [cfg.lr_warmup_steps])
     tx = optax.adamw(sched, b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps,
                      weight_decay=cfg.weight_decay)
-    if cfg.max_grad_norm:
+    if cfg.max_grad_norm and not elementwise:
         tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), tx)
     return tx
 
@@ -125,8 +130,37 @@ def _losses(mods: FineTunerModules, cfg: FineTuneConfig,
 
 def make_finetune_step(mods: FineTunerModules, cfg: FineTuneConfig,
                        optimizer, mesh: Optional[Mesh] = None,
-                       donate: bool = False) -> Callable:
+                       donate: bool = False, zero1: bool = False) -> Callable:
+    """zero1=True shards the AdamW moments over the data axis (ZeRO-1,
+    parallel/zero1.py): pass an ELEMENTWISE optimizer
+    (make_finetune_optimizer(..., elementwise=True)) and an opt_state from
+    parallel.zero1.init_global_opt_state."""
     axis_name = DATA_AXIS if mesh is not None else None
+    if zero1:
+        assert mesh is not None, "ZeRO-1 needs a mesh"
+    local_step = make_local_finetune_step(mods, cfg, optimizer, axis_name,
+                                          zero1=zero1,
+                                          axis_size=mesh.shape[DATA_AXIS] if mesh else 1)
+    donate_kw = {"donate_argnums": (0, 2)} if donate else {}
+    if mesh is None:
+        return jax.jit(local_step, **donate_kw)
+    if zero1:
+        from diffusion_pruning_tpu.parallel.zero1 import state_spec
+        opt_spec = state_spec(optimizer.init({"flat": jnp.zeros((8,))}))
+    else:
+        opt_spec = P()
+    step = shard_map(local_step, mesh=mesh,
+                     in_specs=(P(), P(), opt_spec, P(DATA_AXIS), P()),
+                     out_specs=(P(), opt_spec, P()),
+                     check_vma=False)
+    return jax.jit(step, **donate_kw)
+
+
+def make_local_finetune_step(mods: FineTunerModules, cfg: FineTuneConfig,
+                             optimizer, axis_name: Optional[str],
+                             zero1: bool = False, axis_size: int = 1) -> Callable:
+    """Per-shard step body (pre-shard_map); exposed for the vmap-emulation
+    equivalence tests (shard_map ≡ vmap over the data axis)."""
 
     def local_step(student_params, frozen, opt_state, batch, key):
         if axis_name is not None:
@@ -138,23 +172,37 @@ def make_finetune_step(mods: FineTunerModules, cfg: FineTuneConfig,
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             metrics = jax.lax.pmean(metrics, axis_name)
-        good = jnp.isfinite(metrics["loss"]) & jnp.isfinite(optax.global_norm(grads))
+        gnorm = optax.global_norm(grads)
+        good = jnp.isfinite(metrics["loss"]) & jnp.isfinite(gnorm)
         grads = jax.tree.map(lambda g: jnp.where(good, g, jnp.zeros_like(g)), grads)
-        updates, new_opt = optimizer.update(grads, opt_state, student_params)
-        new_params = optax.apply_updates(student_params, updates)
-        new_params = jax.tree.map(lambda n, o: jnp.where(good, n, o),
-                                  new_params, student_params)
-        new_opt = jax.tree.map(lambda n, o: jnp.where(good, n, o), new_opt, opt_state)
+
+        if zero1:
+            from diffusion_pruning_tpu.parallel.zero1 import gather_shards, local_shard
+            if cfg.max_grad_norm:
+                # global clip on the FULL tree; the sharded optimizer is
+                # elementwise and must not see a shard-local norm
+                scale = jnp.minimum(1.0, cfg.max_grad_norm / (gnorm + 1e-12))
+                grads = jax.tree.map(lambda g: g * scale, grads)
+            p_flat, unravel = jax.flatten_util.ravel_pytree(student_params)
+            total = p_flat.shape[0]
+            g_shard, _ = local_shard(grads, axis_name, axis_size)
+            p_shard, _ = local_shard(student_params, axis_name, axis_size)
+            updates, new_opt = optimizer.update({"flat": g_shard}, opt_state,
+                                                {"flat": p_shard})
+            new_shard = jnp.where(good, p_shard + updates["flat"], p_shard)
+            new_opt = jax.tree.map(lambda n, o: jnp.where(good, n, o),
+                                   new_opt, opt_state)
+            new_params = unravel(gather_shards(new_shard, total, axis_name))
+        else:
+            updates, new_opt = optimizer.update(grads, opt_state, student_params)
+            new_params = optax.apply_updates(student_params, updates)
+            new_params = jax.tree.map(lambda n, o: jnp.where(good, n, o),
+                                      new_params, student_params)
+            new_opt = jax.tree.map(lambda n, o: jnp.where(good, n, o),
+                                   new_opt, opt_state)
         return new_params, new_opt, metrics
 
-    donate_kw = {"donate_argnums": (0, 2)} if donate else {}
-    if mesh is None:
-        return jax.jit(local_step, **donate_kw)
-    step = shard_map(local_step, mesh=mesh,
-                     in_specs=(P(), P(), P(), P(DATA_AXIS), P()),
-                     out_specs=(P(), P(), P()),
-                     check_vma=False)
-    return jax.jit(step, **donate_kw)
+    return local_step
 
 
 def make_finetune_validation_step(mods: FineTunerModules, cfg: FineTuneConfig,

@@ -43,7 +43,8 @@ class PrunerLoop:
     def __init__(self, mods, cfg, loop_cfg: LoopConfig, optimizer,
                  make_step: Callable, make_val: Callable,
                  trainable, frozen, run_dir: str, mesh=None,
-                 tracker: Optional[Tracker] = None, seed: int = 43):
+                 tracker: Optional[Tracker] = None, seed: int = 43,
+                 ema_decay: Optional[float] = None):
         self.mods, self.cfg, self.loop_cfg = mods, cfg, loop_cfg
         self.optimizer = optimizer
         self.mesh = mesh
@@ -59,8 +60,19 @@ class PrunerLoop:
         self.tracker = tracker or Tracker(run_dir)
         self.run_dir = run_dir
         self.image_logger: Optional[Callable] = None  # called every image_logging_steps
+        self.export_reference_format = True
+        self.export_unet_ref = None                   # (UNetConfig, params) to also export unet/
         self.global_step = 0
         self.key = jax.random.PRNGKey(seed)
+        # EMA of the stage-1 trainables (hypernet + quantizer) — the
+        # reference only offers EMA for stage-2 U-Nets; here it is cheap
+        # (the trainables are a few MB) and steadies the router late in the run
+        self.ema_decay = ema_decay
+        self.ema_trainable = jax.tree.map(lambda x: x, trainable) if ema_decay else None
+        self._ema_update = jax.jit(
+            lambda e, p: jax.tree.map(
+                lambda a, b: a * ema_decay + b.astype(a.dtype) * (1.0 - ema_decay), e, p)
+        ) if ema_decay else None
 
     # ------------------------------------------------------------------
 
@@ -71,9 +83,7 @@ class PrunerLoop:
         from diffusion_pruning_tpu.utils.logging_utils import heatmap_image
         out = os.path.join(self.run_dir, "heatmaps")
         os.makedirs(out, exist_ok=True)
-        codes = self.mods.quantizer.codebook_gates(self.trainable["quantizer"],
-                                                   key=None, hard=True)
-        codes = np.asarray(codes)
+        codes = (np.asarray(self.q_state["embedding_gs"]) >= 0.5).astype(np.float32)
         codes = codes / (np.linalg.norm(codes, axis=1, keepdims=True) + 1e-9)
         heatmap_image(codes @ codes.T).save(
             os.path.join(out, f"codebook_sim_{self.global_step}.png"))
@@ -82,16 +92,35 @@ class PrunerLoop:
             os.path.join(out, f"batch_resource_ratios_{self.global_step}.png"))
 
     def state_dict(self) -> Dict[str, Any]:
-        return {"trainable": self.trainable, "opt_state": self.opt_state,
-                "q_state": self.q_state, "step": np.asarray(self.global_step)}
+        state = {"trainable": self.trainable, "opt_state": self.opt_state,
+                 "q_state": self.q_state, "step": np.asarray(self.global_step)}
+        if self.ema_trainable is not None:
+            state["ema_trainable"] = self.ema_trainable
+        return state
 
     def save_checkpoint(self):
         artifacts = {
-            "quantizer_embeddings.pt": np.asarray(
-                self.mods.quantizer.codebook_gates(self.trainable["quantizer"],
-                                                   key=None, hard=True)),
+            # The reference saves the training-noise embedding_gs snapshot
+            # itself (trainer.py:274) — the SAME tensor eval routing uses —
+            # not a fixed-key gumbel re-realisation, which would flip
+            # borderline gates and desync experts from the router.
+            "quantizer_embeddings.pt": np.asarray(self.q_state["embedding_gs"]),
         }
         path = self.ckpt.save(self.global_step, self.state_dict(), artifacts)
+        if self.export_reference_format:
+            # diffusers-style hypernet/ + quantizer/ subfolders, the
+            # reference's inter-stage interface (trainer.py:253-313). unet/
+            # is opt-in via self.export_unet_ref = (cfg, params): the U-Net
+            # is frozen in stage 1, so it equals the pretrained weights.
+            try:
+                from diffusion_pruning_tpu.utils.export import export_pruning_checkpoint
+                ucfg, uparams = self.export_unet_ref or (None, None)
+                export_pruning_checkpoint(
+                    path, self.mods.hypernet, self.trainable["hypernet"],
+                    self.mods.quantizer, self.trainable["quantizer"], self.q_state,
+                    unet_cfg=ucfg, unet_params=uparams)
+            except ImportError as e:  # safetensors unavailable
+                logger.warning("reference-format export skipped: %s", e)
         logger.info("saved checkpoint %s", path)
 
     def maybe_resume(self):
@@ -102,6 +131,8 @@ class PrunerLoop:
         self.trainable = restored["trainable"]
         self.opt_state = restored["opt_state"]
         self.q_state = restored["q_state"]
+        if self.ema_trainable is not None:
+            self.ema_trainable = restored["ema_trainable"]
         self.global_step = int(restored["step"])
         logger.info("resumed from step %d", self.global_step)
 
@@ -130,6 +161,9 @@ class PrunerLoop:
                 (self.trainable, self.opt_state, self.q_state,
                  metrics, aux) = self.step_fns[pretrain](
                     self.trainable, self.frozen, self.opt_state, batch, sub)
+                if self.ema_trainable is not None:
+                    self.ema_trainable = self._ema_update(self.ema_trainable,
+                                                          self.trainable)
                 self.global_step += 1
 
                 if self.global_step % lc.log_every == 0:
@@ -186,14 +220,17 @@ class FineTuneLoop:
                  loop_cfg: LoopConfig, run_dir: str,
                  arch_vector: Optional[np.ndarray] = None,
                  tracker: Optional[Tracker] = None, seed: int = 43,
-                 ema_decay: Optional[float] = None):
+                 ema_decay: Optional[float] = None,
+                 opt_state: Optional[Any] = None):
         self.step_fn, self.val_fn = step_fn, val_fn
         # copy: expert params share unsliced leaves with the frozen teacher
         # (slice_expert_params is zero-copy); a donating step would otherwise
         # delete the teacher's buffers
         self.params = jax.tree.map(jnp.copy, student_params)
         self.frozen = frozen
-        self.opt_state = optimizer.init(self.params)
+        # opt_state override: ZeRO-1 states come pre-sharded from
+        # parallel.zero1.init_global_opt_state
+        self.opt_state = opt_state if opt_state is not None else optimizer.init(self.params)
         self.loop_cfg = loop_cfg
         self.ckpt = CheckpointManager(run_dir, loop_cfg.checkpoints_total_limit)
         self.tracker = tracker or Tracker(run_dir)

@@ -169,11 +169,21 @@ def _compute_losses(
         gates = jnp.tile(gates, (text_emb.shape[0], 1))
     gates_norm = mods.quantizer.width_depth_normalize(gates)
 
-    # global-batch contrastive (trainer.py:1147-1170); lax.all_gather is
-    # differentiable, so pmean'd grads equal the reference's DDP semantics
+    # Global-batch contrastive (trainer.py:1147-1170) with DDP gradient
+    # semantics: torch's all_gather detaches non-local entries, so each rank
+    # differentiates the global similarity matrix only through its OWN shard
+    # and DDP's grad average yields full_grad / world_size. A naively
+    # differentiable lax.all_gather would give every device the FULL matrix
+    # gradient (its transpose sums the other devices' cotangents back), and
+    # pmean would keep it full — an axis_size× overweighted contrastive term.
+    # Reproduce torch exactly: gather stop-gradient shards, splice the live
+    # local shard back in at this device's slot.
     if axis_name is not None:
         text_all = jax.lax.all_gather(text_emb, axis_name).reshape(-1, text_emb.shape[-1])
-        arch_all = jax.lax.all_gather(gates_norm, axis_name).reshape(-1, gates_norm.shape[-1])
+        arch_gath = jax.lax.all_gather(jax.lax.stop_gradient(gates_norm), axis_name)
+        arch_gath = jax.lax.dynamic_update_index_in_dim(
+            arch_gath, gates_norm, jax.lax.axis_index(axis_name), 0)
+        arch_all = arch_gath.reshape(-1, gates_norm.shape[-1])
     else:
         text_all, arch_all = text_emb, gates_norm
     c_loss, arch_sim = contrastive_loss(text_all, arch_all,
@@ -253,9 +263,22 @@ def make_pruner_step(
     p_actual = mods.resource_model.actual_pruning_target(cfg.pruning_target)
     axis_name = DATA_AXIS if mesh is not None else None
     axis_size = mesh.shape[DATA_AXIS] if mesh is not None else 1
+    return _wrap_step(make_local_pruner_step(
+        mods, cfg, optimizer, axis_name, axis_size, pretrain, p_actual), mesh, donate)
+
+
+def make_local_pruner_step(mods, cfg, optimizer, axis_name, axis_size,
+                           pretrain, p_actual):
+    """Per-shard step body (pre-shard_map). Exposed so tests can run it under
+    `jax.vmap(..., axis_name=DATA_AXIS)` — the single-device emulation of the
+    mesh collectives — and assert shard_map ≡ vmap semantics."""
 
     def local_step(trainable, frozen, opt_state, batch, key):
-        shared_key = jax.random.fold_in(key, 7)
+        # shared vs per-device keys from disjoint derivation domains:
+        # fold_in(key, CONST) would collide with fold_in(key, axis_index)
+        # whenever CONST < axis_size, correlating the replicated codebook
+        # gumbel noise with one device's data noise.
+        shared_key, key = jax.random.split(key)
         if axis_name is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
 
@@ -294,10 +317,13 @@ def make_pruner_step(
         }
         return new_trainable, new_opt_state, aux["q_state"], metrics, out_aux
 
+    return local_step
+
+
+def _wrap_step(local_step, mesh, donate):
     donate_kw = {"donate_argnums": (0, 2)} if donate else {}
     if mesh is None:
         return jax.jit(local_step, **donate_kw)
-
     rep = P()
     step = shard_map(
         local_step, mesh=mesh,
@@ -317,7 +343,7 @@ def make_validation_step(mods: PrunerModules, cfg: PrunerConfig,
     axis_size = mesh.shape[DATA_AXIS] if mesh is not None else 1
 
     def local_val(trainable, frozen, batch, key):
-        shared_key = jax.random.fold_in(key, 7)
+        shared_key, key = jax.random.split(key)
         if axis_name is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         _, aux = _compute_losses(mods, cfg, trainable, frozen, batch, key, shared_key,

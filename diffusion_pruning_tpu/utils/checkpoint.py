@@ -43,10 +43,23 @@ def save_torch_artifact(obj, path: str) -> None:
 
 def load_torch_artifact(path: str) -> np.ndarray:
     import torch
-    t = torch.load(path, map_location="cpu", weights_only=False)
+    # weights_only=True: these artifacts are always plain tensors/containers;
+    # never allow arbitrary-code unpickling.
+    t = torch.load(path, map_location="cpu", weights_only=True)
     if isinstance(t, torch.Tensor):
         return t.numpy()
     return t
+
+
+def latest_checkpoint_dir(root: str) -> Optional[str]:
+    """Newest `checkpoint-{step}` subdir by STEP NUMBER (lexicographic sort
+    would pick checkpoint-999 over checkpoint-1000). Returns None if absent."""
+    steps = []
+    for name in os.listdir(root):
+        m = _CKPT_RE.match(name)
+        if m:
+            steps.append(int(m.group(1)))
+    return os.path.join(root, f"checkpoint-{max(steps)}") if steps else None
 
 
 class CheckpointManager:

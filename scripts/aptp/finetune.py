@@ -55,9 +55,9 @@ def main():
     spec = build_structure(ucfg)
 
     # expert arch vector = codebook row from the stage-1 checkpoint
-    ckpts = sorted(d for d in os.listdir(args.pruning_ckpt_dir) if d.startswith("checkpoint-"))
-    emb_path = os.path.join(args.pruning_ckpt_dir, ckpts[-1], "quantizer_embeddings.pt") \
-        if ckpts else os.path.join(args.pruning_ckpt_dir, "quantizer_embeddings.pt")
+    from diffusion_pruning_tpu.utils.checkpoint import latest_checkpoint_dir
+    latest = latest_checkpoint_dir(args.pruning_ckpt_dir)
+    emb_path = os.path.join(latest or args.pruning_ckpt_dir, "quantizer_embeddings.pt")
     embeddings = load_torch_artifact(emb_path)
     arch_vector = np.asarray(embeddings)[args.expert_id]
     from diffusion_pruning_tpu.utils.checkpoint import save_torch_artifact
@@ -88,8 +88,17 @@ def main():
     mesh = data_mesh()
     n_dev = mesh.shape["data"]
     global_batch = cfg.data.dataloader.get("train_batch_size", 8) * n_dev
-    optimizer = make_finetune_optimizer(ft_cfg, global_batch)
-    step = make_finetune_step(mods, ft_cfg, optimizer, mesh=mesh, donate=True)
+    # ZeRO-1 (optim.zero1): shard the AdamW moments over the data axis —
+    # ~6 GB/chip freed for the SD-2.1 U-Net on an 8-chip mesh
+    zero1 = bool(cfg.training.optim.get("zero1", n_dev > 1))
+    optimizer = make_finetune_optimizer(ft_cfg, global_batch, elementwise=zero1)
+    step = make_finetune_step(mods, ft_cfg, optimizer, mesh=mesh, donate=True,
+                              zero1=zero1)
+    opt_state = None
+    if zero1:
+        from diffusion_pruning_tpu.parallel.zero1 import init_global_opt_state
+        opt_state = init_global_opt_state(
+            optimizer, jax.tree.map(jnp.asarray, student_params), mesh)
 
     loop_cfg = LoopConfig(
         max_train_steps=cfg.training.get("max_train_steps", 30000),
@@ -99,7 +108,8 @@ def main():
     )
     loop = FineTuneLoop(step, None, jax.tree.map(jnp.asarray, student_params),
                         frozen, optimizer, loop_cfg, run_dir,
-                        arch_vector=arch_vector, seed=args.seed)
+                        arch_vector=arch_vector, seed=args.seed,
+                        opt_state=opt_state)
 
     resolution = ucfg.sample_size * 8
     data_dir = cfg.data.get("data_dir") or ""

@@ -46,9 +46,9 @@ def main():
     if args.finetuning_ckpt_dir:
         arch = load_torch_artifact(os.path.join(args.finetuning_ckpt_dir, "arch_vector.pt"))
     else:
-        ckpts = sorted(d for d in os.listdir(args.pruning_ckpt_dir)
-                       if d.startswith("checkpoint-"))
-        emb = load_torch_artifact(os.path.join(args.pruning_ckpt_dir, ckpts[-1],
+        from diffusion_pruning_tpu.utils.checkpoint import latest_checkpoint_dir
+        latest = latest_checkpoint_dir(args.pruning_ckpt_dir)
+        emb = load_torch_artifact(os.path.join(latest or args.pruning_ckpt_dir,
                                                "quantizer_embeddings.pt"))
         arch = np.asarray(emb)[args.expert_id]
     plan = make_expert_plan(spec, np.asarray(arch).reshape(-1))

@@ -29,9 +29,9 @@ def main():
     spec = build_structure(ucfg)
     rm = ResourceModel(spec)
 
-    ckpts = sorted(d for d in os.listdir(args.pruning_ckpt_dir) if d.startswith("checkpoint-"))
-    emb_path = os.path.join(args.pruning_ckpt_dir, ckpts[-1], "quantizer_embeddings.pt") \
-        if ckpts else os.path.join(args.pruning_ckpt_dir, "quantizer_embeddings.pt")
+    from diffusion_pruning_tpu.utils.checkpoint import latest_checkpoint_dir
+    latest = latest_checkpoint_dir(args.pruning_ckpt_dir)
+    emb_path = os.path.join(latest or args.pruning_ckpt_dir, "quantizer_embeddings.pt")
     embeddings = np.asarray(load_torch_artifact(emb_path))
     print(f"dense total MACs: {spec.total_macs / 1e9:.2f} G "
           f"(prunable {spec.prunable_macs / 1e9:.2f} G)")

@@ -155,3 +155,40 @@ def test_expert_server_dispatch(tiny_pipeline):
     # routing is deterministic: same prompts → same experts
     indices2 = server.route(ids)
     np.testing.assert_array_equal(indices, indices2)
+
+
+def test_safety_checker_screens_images(tiny_pipeline):
+    """Safety checker (models/safety.py): flagged images come back black and
+    the pipeline returns the nsfw flags (pruning_pipelines.py:826-839)."""
+    import dataclasses
+    from diffusion_pruning_tpu.models.safety import SafetyChecker, clip_preprocess
+
+    # stub CLIP vision tower: embeds to the mean pixel so we can steer flags
+    def embed(px):  # (B, 224, 224, 3) preprocessed
+        m = px.mean(axis=(1, 2, 3))
+        return jnp.stack([m, jnp.ones_like(m)], axis=-1)
+
+    px = clip_preprocess(jnp.zeros((2, 16, 16, 3)))
+    assert px.shape == (2, 224, 224, 3)
+
+    # threshold -inf on concept 0 → everything flags; +inf → nothing flags
+    flag_all = SafetyChecker(embed, np.array([[0.0, 1.0]]), np.array([-1e9]))
+    flag_none = SafetyChecker(embed, np.array([[0.0, 1.0]]), np.array([1e9]))
+
+    p = dataclasses.replace(tiny_pipeline, safety_checker=flag_all)
+    p._fn_cache = dict(getattr(tiny_pipeline, "_fn_cache", {}))
+    p._denoise_cache = dict(getattr(tiny_pipeline, "_denoise_cache", {}))
+    cfg = p.unet.cfg
+    ids = jnp.ones((2, cfg.max_text_len), jnp.int32)
+    neg = jnp.zeros((2, cfg.max_text_len), jnp.int32)
+    images, indices, ratios, nsfw = p(ids, neg, jax.random.PRNGKey(5),
+                                      num_inference_steps=2)
+    assert np.asarray(nsfw).all()
+    assert float(jnp.abs(images).max()) == 0.0  # blacked out
+
+    p2 = dataclasses.replace(p, safety_checker=flag_none)
+    p2._fn_cache, p2._denoise_cache = p._fn_cache, p._denoise_cache
+    images2, _, _, nsfw2 = p2(ids, neg, jax.random.PRNGKey(5),
+                              num_inference_steps=2)
+    assert not np.asarray(nsfw2).any()
+    assert float(jnp.abs(images2).max()) > 0.0
