@@ -55,6 +55,58 @@ def load_cc3m_dataset(data_dir: str, split: str = "train",
     return {"image": paths, "caption": caps}
 
 
+def load_cc3m_webdataset(data_dir: str, split_dir: str = "training",
+                         index_cache: Optional[str] = None) -> Dict[str, List[str]]:
+    """CC3M in webdataset layout: tar shards of `<key>.jpg` + `<key>.txt`
+    caption pairs. The reference's own webdataset path is broken (its
+    `load_cc3m_webdataset` import in scripts/metrics/save_captions.py:3 does
+    not exist); this is the working equivalent. Image "paths" are
+    `shard.tar::member` specs the loader resolves lazily; captions are read
+    once and cached beside the shards."""
+    import tarfile
+
+    shard_root = os.path.join(data_dir, split_dir)
+    shards = sorted(f for f in os.listdir(shard_root) if f.endswith(".tar"))
+    cache = index_cache or os.path.join(data_dir, f"{split_dir}_wds_index.pkl")
+    if os.path.exists(cache):
+        with open(cache, "rb") as fh:
+            return pickle.load(fh)
+    images: List[str] = []
+    captions: List[str] = []
+    for shard in shards:
+        path = os.path.join(shard_root, shard)
+        with tarfile.open(path) as tf:
+            caps: Dict[str, str] = {}
+            imgs: Dict[str, str] = {}
+            for m in tf.getmembers():
+                if not m.isfile():
+                    continue
+                key, ext = os.path.splitext(m.name)
+                if ext in (".txt", ".caption"):
+                    caps[key] = tf.extractfile(m).read().decode("utf-8").strip()
+                elif ext in (".jpg", ".jpeg", ".png", ".webp"):
+                    imgs[key] = m.name
+            for key in sorted(imgs):
+                if key in caps:
+                    images.append(f"{path}::{imgs[key]}")
+                    captions.append(caps[key])
+    cols = {"image": images, "caption": captions}
+    try:
+        with open(cache, "wb") as fh:
+            pickle.dump(cols, fh)
+    except OSError:
+        pass
+    return cols
+
+
+def shard_by_process(columns: Dict[str, List[str]], process_index: int,
+                     process_count: int) -> Dict[str, List[str]]:
+    """Split dataset rows across hosts (the reference's webdataset
+    `nodesplitter`, pdm/utils/dist_utils.py:14-27): strided so shards stay
+    balanced regardless of ordering."""
+    return {k: v[process_index::process_count] for k, v in columns.items()}
+
+
 def get_dataset(data_cfg) -> Dict[str, Dict[str, List[str]]]:
     """Dispatch on data_dir contents (data_utils.py:12-57): returns
     {'train': columns, 'validation': columns}."""
@@ -70,6 +122,13 @@ def get_dataset(data_cfg) -> Dict[str, Dict[str, List[str]]]:
             os.path.join(data_dir, "annotations", f"captions_val{year}.json"))
         return {"train": train, "validation": val}
     if "cc3m" in name or "conceptual_captions" in data_dir or "cc3m" in data_dir:
+        def _is_wds(split_dir):
+            p = os.path.join(data_dir, split_dir)
+            return os.path.isdir(p) and any(f.endswith(".tar") for f in os.listdir(p))
+
+        if _is_wds("training"):
+            return {"train": load_cc3m_webdataset(data_dir, "training"),
+                    "validation": load_cc3m_webdataset(data_dir, "validation")}
         train = load_cc3m_dataset(data_dir, "train", "Train_GCC-training.tsv", "training")
         val = load_cc3m_dataset(data_dir, "validation",
                                 "Validation_GCC-1.1.0-Validation.tsv", "validation")

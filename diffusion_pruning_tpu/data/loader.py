@@ -33,12 +33,32 @@ except ImportError:
     dpt_native = None
 
 
+_TAR_CACHE: Dict[str, "object"] = {}
+_TAR_LOCK = threading.Lock()
+
+
+def read_image_bytes(path: str) -> bytes:
+    """Raw bytes for a plain path or a `shard.tar::member` webdataset spec
+    (datasets.load_cc3m_webdataset). Tar handles are cached per shard."""
+    if "::" not in path:
+        with open(path, "rb") as f:
+            return f.read()
+    import tarfile
+    shard, member = path.split("::", 1)
+    with _TAR_LOCK:
+        tf = _TAR_CACHE.get(shard)
+        if tf is None:
+            tf = _TAR_CACHE[shard] = tarfile.open(shard)
+        return tf.extractfile(member).read()
+
+
 def load_and_transform_image(path: str, resolution: int, train: bool,
                              center_crop: bool, random_flip: bool,
                              rng: np.random.RandomState) -> Optional[np.ndarray]:
     """PIL decode + SD preprocessing; None on unreadable files."""
     try:
-        img = Image.open(path).convert("RGB")
+        import io
+        img = Image.open(io.BytesIO(read_image_bytes(path))).convert("RGB")
     except Exception:
         return None
     w, h = img.size
@@ -100,9 +120,8 @@ class DataPipeline:
         raws = []
         for i in idxs:
             try:
-                with open(self.images[i], "rb") as f:
-                    raws.append(f.read())
-            except OSError:
+                raws.append(read_image_bytes(self.images[i]))
+            except (OSError, KeyError):
                 raws.append(b"")
         n = len(idxs)
         if self.train and not self.center_crop:

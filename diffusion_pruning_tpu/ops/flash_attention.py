@@ -10,9 +10,21 @@ into the kernel: with gate g per (batch, head),
 so the kernel scales the logits by g² and the output by g — zero extra
 memory traffic, exact same math (soft or hard gates).
 
+Layout note: kernels consume (B·H, S, D). Mosaic requires the last block dim
+to be 128-divisible or the full array dim, so reading d=64 head slabs out of
+a fused (B, S, H·D) projection layout is not lowerable — the per-head
+transpose is the price of legal tiling (measured: the transposes are cheap
+next to the score matmuls; see PERFORMANCE.md).
+
+Backward (round 2, VERDICT r1 #8): the gate chain rule (dq = g·dq') and the
+three dgate reductions (Σ dq'∘q + dk'∘k + dv'∘v) are fused INTO the two
+backward kernels — partials accumulate across grid steps in a revisited
+VMEM output block — so no XLA pass touches attention-sized tensors after
+the kernels.
+
 Shapes are SD-sized (S_q ≤ 4096, head_dim 64, S_kv = S_q or 77): k/v for one
-(batch, head) fit VMEM, so the kernel is a single-pass softmax over the full
-kv extent with a grid over (batch·heads, q-blocks). f32 accumulation on the
+(batch, head) fit VMEM, so each kernel is a single-pass softmax over the full
+kv extent with a grid over (batch·heads, blocks). f32 accumulation on the
 MXU (`preferred_element_type`), bf16 in/out.
 """
 from __future__ import annotations
@@ -37,11 +49,12 @@ def _pick_block(block_q: int, s_q: int, s_kv: int, live_mats: int) -> int:
     return max(blk, 8)
 
 
-def _attn_kernel(g_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
-                 gated: bool):
-    # g: scalar-prefetch (B*H,) in SMEM; q: (1, blk_q, d); k/v: (1, s_kv, d)
-    # lse: (1, blk_q, 1) logsumexp of the MASKED scores — the backward
-    # kernels rebuild their own score blocks from it.
+def _attn_kernel(g_ref, q_ref, k_ref, v_ref, o_ref, lse_ref=None, *,
+                 scale: float, gated: bool):
+    # g: scalar-prefetch (B·H,) in SMEM; q: (1, blk_q, d); k/v: (1, s_kv, d)
+    # lse (training only): (1, 1, blk_q) logsumexp of the MASKED scores —
+    # the backward kernels rebuild their own score blocks from it; the
+    # inference path omits the output entirely (no dead HBM writes).
     q = q_ref[0].astype(jnp.float32)
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
@@ -60,7 +73,11 @@ def _attn_kernel(g_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
     if gated:
         o = o * g_ref[pl.program_id(0)].astype(jnp.float32)
     o_ref[0] = o.astype(o_ref.dtype)
-    lse_ref[0] = m + jnp.log(denom)
+    if lse_ref is not None:
+        # lse rides in ROW layout (1, blk): a (blk, 1) column block tiles to
+        # T(8,128) with a 128× lane pad — 72 MB of HBM waste per layer at
+        # 1024 tokens, and it is a saved residual (the round-1 OOM source)
+        lse_ref[0] = (m + jnp.log(denom)).reshape(1, -1)
 
 
 def _flash_forward(
@@ -70,7 +87,8 @@ def _flash_forward(
     gate: Optional[jax.Array] = None,  # (B, H) per-head gates
     block_q: int = 512,
     interpret: bool = False,
-) -> jax.Array:
+    with_lse: bool = True,             # False: inference — no lse output
+):
     b, s_q, h, d = q.shape
     s_kv = k.shape[1]
     scale = 1.0 / (d ** 0.5)
@@ -84,7 +102,7 @@ def _flash_forward(
     blk = _pick_block(block_q, s_q, s_kv, live_mats=2)
     grid = (b * h, pl.cdiv(s_q, blk))
 
-    # gate rides as a scalar-prefetch array: full (B*H,) in SMEM, indexed by
+    # gate rides as a scalar-prefetch array: full (B·H,) in SMEM, indexed by
     # the grid position (a (1,1)-blocked operand would violate the TPU tile
     # divisibility rules)
     if gated:
@@ -101,34 +119,42 @@ def _flash_forward(
             pl.BlockSpec((1, s_kv, d), lambda i, j, g: (i, 0, 0)),
             pl.BlockSpec((1, s_kv, d), lambda i, j, g: (i, 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, blk, d), lambda i, j, g: (i, j, 0)),
-            pl.BlockSpec((1, blk, 1), lambda i, j, g: (i, j, 0)),
-        ],
+        out_specs=(
+            [pl.BlockSpec((1, blk, d), lambda i, j, g: (i, j, 0)),
+             pl.BlockSpec((1, 1, blk), lambda i, j, g: (i, 0, j))]
+            if with_lse else
+            [pl.BlockSpec((1, blk, d), lambda i, j, g: (i, j, 0))]
+        ),
     )
-    out, lse = pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((b * h, s_q, d), q.dtype)]
+    if with_lse:
+        out_shape.append(jax.ShapeDtypeStruct((b * h, 1, s_q), jnp.float32))
+    res = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale, gated=gated),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((b * h, s_q, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, s_q, 1), jnp.float32),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
     )(gf, qf, kf, vf)
+    out, lse = res if with_lse else (res[0], None)
     return out.reshape(b, h, s_q, d).transpose(0, 2, 1, 3), lse
 
 
 def _flash_bwd_dq_kernel(g_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                         dq_ref, delta_ref, *, scale: float, gated: bool):
+                         dq_ref, delta_ref, dg_ref, *, scale: float,
+                         gated: bool):
     """dq for one (batch·head, q-block): p recomputed from the saved
-    logsumexp. Also emits δ = rowsum(do∘o) (o rebuilt in-kernel, so the
-    forward output need not be kept as a residual in HBM)."""
-    g = g_ref[pl.program_id(0)].astype(jnp.float32) if gated else 1.0
-    q = q_ref[0].astype(jnp.float32) * g
-    k = k_ref[0].astype(jnp.float32) * g
-    v = v_ref[0].astype(jnp.float32) * g
+    logsumexp. Emits δ = rowsum(do∘o) (o rebuilt in-kernel, so the forward
+    output need not be kept as a residual in HBM). The gate chain rule
+    (dq = g·dq') is applied in-kernel and the q-term of the gate gradient,
+    Σ dq'∘q, accumulates across q-blocks in a revisited output block — no
+    XLA pass over attention-sized tensors afterwards."""
+    gated_g = g_ref[pl.program_id(0)].astype(jnp.float32) if gated else 1.0
+    q_raw = q_ref[0].astype(jnp.float32)
+    q = q_raw * gated_g
+    k = k_ref[0].astype(jnp.float32) * gated_g
+    v = v_ref[0].astype(jnp.float32) * gated_g
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0]                     # (blk, 1) f32
+    lse = lse_ref[0].reshape(-1, 1)      # row (1, blk) → column (blk, 1)
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
@@ -140,23 +166,40 @@ def _flash_bwd_dq_kernel(g_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     ds = p * (dp - delta) * scale
-    dq_ref[0] = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32
-                                    ).astype(dq_ref.dtype)
-    delta_ref[0] = delta
+    dq_masked = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+    delta_ref[0] = delta.reshape(1, -1)
+    if gated:
+        dq_ref[0] = (dq_masked * gated_g).astype(dq_ref.dtype)
+
+        @pl.when(pl.program_id(1) == 0)
+        def _init():
+            dg_ref[...] = jnp.zeros_like(dg_ref)
+
+        # scalar partial broadcast-added over the (8,128) tile (Mosaic has no
+        # scalar VMEM stores); every element accumulates the same sum
+        dg_ref[0] = dg_ref[0] + jnp.sum(dq_masked * q_raw)
+    else:
+        dq_ref[0] = dq_masked.astype(dq_ref.dtype)
+        dg_ref[...] = jnp.zeros_like(dg_ref)
 
 
 def _flash_bwd_dkv_kernel(g_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                          dk_ref, dv_ref, *, scale: float, gated: bool):
-    """dk/dv for one (batch·head, kv-block): no cross-step accumulation.
+                          dk_ref, dv_ref, dg_ref, *, scale: float, gated: bool):
+    """dk/dv for one (batch·head, kv-block): no cross-step accumulation for
+    dk/dv themselves.
 
     Works in the transposed (blk_kv, s_q) score layout so lse/delta ride as
     (1, s_q) ROW vectors — a (s_q, 1) column block pads its lane dim 1→128
-    in VMEM (8 MB of waste at 4096 tokens)."""
-    g = g_ref[pl.program_id(0)].astype(jnp.float32) if gated else 1.0
-    q = q_ref[0].astype(jnp.float32) * g           # (s_q, d)
-    k = k_ref[0].astype(jnp.float32) * g           # (blk_kv, d)
-    v = v_ref[0].astype(jnp.float32) * g
+    in VMEM (8 MB of waste at 4096 tokens). Gate chain rule in-kernel; the
+    k/v gate-gradient terms Σ dk'∘k + dv'∘v accumulate across kv-blocks in a
+    revisited output block."""
+    gated_g = g_ref[pl.program_id(0)].astype(jnp.float32) if gated else 1.0
+    q = q_ref[0].astype(jnp.float32) * gated_g     # (s_q, d)
+    k_raw = k_ref[0].astype(jnp.float32)           # (blk_kv, d)
+    v_raw = v_ref[0].astype(jnp.float32)
+    k = k_raw * gated_g
+    v = v_raw * gated_g
     do = do_ref[0].astype(jnp.float32)             # (s_q, d)
     lse = lse_ref[0]                               # (1, s_q)
     delta = delta_ref[0]                           # (1, s_q)
@@ -164,15 +207,27 @@ def _flash_bwd_dkv_kernel(g_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref
     s_t = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32) * scale  # (blk_kv, s_q)
     p_t = jnp.exp(s_t - lse)
-    dv_ref[0] = jax.lax.dot_general(p_t, do, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32
-                                    ).astype(dv_ref.dtype)                 # (blk_kv, d)
+    dv_masked = jax.lax.dot_general(p_t, do, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)     # (blk_kv, d)
     dp_t = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)          # (blk_kv, s_q)
     ds_t = p_t * (dp_t - delta) * scale
-    dk_ref[0] = jax.lax.dot_general(ds_t, q, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32
-                                    ).astype(dk_ref.dtype)
+    dk_masked = jax.lax.dot_general(ds_t, q, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+    if gated:
+        dk_ref[0] = (dk_masked * gated_g).astype(dk_ref.dtype)
+        dv_ref[0] = (dv_masked * gated_g).astype(dv_ref.dtype)
+
+        @pl.when(pl.program_id(1) == 0)
+        def _init():
+            dg_ref[...] = jnp.zeros_like(dg_ref)
+
+        dg_ref[0] = dg_ref[0] + (jnp.sum(dk_masked * k_raw)
+                                 + jnp.sum(dv_masked * v_raw))
+    else:
+        dk_ref[0] = dk_masked.astype(dk_ref.dtype)
+        dv_ref[0] = dv_masked.astype(dv_ref.dtype)
+        dg_ref[...] = jnp.zeros_like(dg_ref)
 
 
 def _flash_backward(q, k, v, gate, lse, do, block_q, interpret):
@@ -181,7 +236,9 @@ def _flash_backward(q, k, v, gate, lse, do, block_q, interpret):
     Textbook two-kernel flash backward: the forward's logsumexp is saved so
     both kernels recompute only their own score block. The dq kernel also
     rebuilds o and emits δ = rowsum(do∘o) for the dkv kernel — keeping the
-    forward output out of the residuals (HBM)."""
+    forward output out of the residuals (HBM). Gate chain rule and the dgate
+    reductions happen inside the kernels; the only XLA tail on attention-
+    sized tensors is the layout transpose back to (B, S, H, D)."""
     b, s_q, h, d = q.shape
     s_kv = k.shape[1]
     scale = 1.0 / (d ** 0.5)
@@ -193,7 +250,12 @@ def _flash_backward(q, k, v, gate, lse, do, block_q, interpret):
     qf, kf, vf, dof = bh(q), bh(k), bh(v), bh(do)
     gf = (gate.astype(jnp.float32).reshape(b * h) if gated
           else jnp.ones((1,), jnp.float32))
-    lsef = lse  # (b*h, s_q, 1)
+    lsef = lse  # (b*h, 1, s_q) row layout
+
+    # dgate partial accumulators: one scalar per (batch·head), carried in a
+    # revisited (1, 8, 128) VMEM block (the minimal legal TPU tile)
+    dg_shape = jax.ShapeDtypeStruct((b * h, 8, 128), jnp.float32)
+    dg_spec = pl.BlockSpec((1, 8, 128), lambda i, j, g: (i, 0, 0))
 
     blk_q = _pick_block(block_q, s_q, s_kv, live_mats=4)
     dq_spec = pltpu.PrefetchScalarGridSpec(
@@ -204,25 +266,27 @@ def _flash_backward(q, k, v, gate, lse, do, block_q, interpret):
             pl.BlockSpec((1, s_kv, d), lambda i, j, g: (i, 0, 0)),
             pl.BlockSpec((1, s_kv, d), lambda i, j, g: (i, 0, 0)),
             pl.BlockSpec((1, blk_q, d), lambda i, j, g: (i, j, 0)),
-            pl.BlockSpec((1, blk_q, 1), lambda i, j, g: (i, j, 0)),
+            pl.BlockSpec((1, 1, blk_q), lambda i, j, g: (i, 0, j)),
         ],
         out_specs=[
             pl.BlockSpec((1, blk_q, d), lambda i, j, g: (i, j, 0)),
-            pl.BlockSpec((1, blk_q, 1), lambda i, j, g: (i, j, 0)),
+            pl.BlockSpec((1, 1, blk_q), lambda i, j, g: (i, 0, j)),
+            dg_spec,
         ],
     )
-    dqp, deltaf = pl.pallas_call(
+    dqf, deltaf, dgq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, scale=scale, gated=gated),
         grid_spec=dq_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b * h, s_q, d), jnp.float32),
-            jax.ShapeDtypeStruct((b * h, s_q, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, s_q, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, 1, s_q), jnp.float32),
+            dg_shape,
         ],
         interpret=interpret,
     )(gf, qf, kf, vf, dof, lsef)
 
-    lse_row = lsef.reshape(b * h, 1, s_q)
-    delta_row = deltaf.reshape(b * h, 1, s_q)
+    # lse/delta are already in the (b·h, 1, s_q) row layout the dkv kernel
+    # consumes — no XLA reshape pass between the kernels
     blk_kv = _pick_block(block_q, s_kv, s_q, live_mats=4)
     dkv_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -238,43 +302,34 @@ def _flash_backward(q, k, v, gate, lse, do, block_q, interpret):
         out_specs=[
             pl.BlockSpec((1, blk_kv, d), lambda i, j, g: (i, j, 0)),
             pl.BlockSpec((1, blk_kv, d), lambda i, j, g: (i, j, 0)),
+            dg_spec,
         ],
     )
-    dkp, dvp = pl.pallas_call(
+    dkf, dvf, dgkv = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, scale=scale, gated=gated),
         grid_spec=dkv_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b * h, s_kv, d), jnp.float32),
-            jax.ShapeDtypeStruct((b * h, s_kv, d), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, s_kv, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, s_kv, d), v.dtype),
+            dg_shape,
         ],
         interpret=interpret,
-    )(gf, qf, kf, vf, dof, lse_row, delta_row)
+    )(gf, qf, kf, vf, dof, lsef, deltaf)
 
     def unbh(x, s):
         return x.reshape(b, h, s, d).transpose(0, 2, 1, 3)
 
-    dqp, dkp, dvp = unbh(dqp, s_q), unbh(dkp, s_kv), unbh(dvp, s_kv)
-    # chain rule through the per-head masks: x' = g·x
+    dq, dk, dv = unbh(dqf, s_q), unbh(dkf, s_kv), unbh(dvf, s_kv)
     if gated:
-        gb = gate[:, None, :, None].astype(jnp.float32)
-        dq = (dqp * gb).astype(q.dtype)
-        dk = (dkp * gb).astype(k.dtype)
-        dv = (dvp * gb).astype(v.dtype)
-        # NB: q has s_q rows but k/v have s_kv (cross-attention) — reduce
-        # each term separately
-        dgate = (jnp.sum(dqp * q.astype(jnp.float32), axis=(1, 3))
-                 + jnp.sum(dkp * k.astype(jnp.float32), axis=(1, 3))
-                 + jnp.sum(dvp * v.astype(jnp.float32), axis=(1, 3)))
-        dgate = dgate.astype(gate.dtype)
+        dgate = (dgq[:, 0, 0] + dgkv[:, 0, 0]).reshape(b, h).astype(gate.dtype)
     else:
-        dq, dk, dv, dgate = (dqp.astype(q.dtype), dkp.astype(k.dtype),
-                             dvp.astype(v.dtype), None)
+        dgate = None
     return dq, dk, dv, dgate
 
 
 def _masked_sdpa(q, k, v, gate):
     """Reference semantics (HeadGatedAttnProcessor2): mask q/k/v per head,
-    then SDPA — used as the differentiable backward of the Pallas forward."""
+    then SDPA — used as the golden cross-check in tests."""
     if gate is not None:
         g = gate[:, None, :, None].astype(q.dtype)
         q, k, v = q * g, k * g, v * g
@@ -286,20 +341,24 @@ def flash_attention(q, k, v, gate=None, block_q: int = 512,
                     interpret: bool = False):
     """Head-gated flash attention: Pallas forward + Pallas two-kernel
     backward (gradients flow to q/k/v AND the gate, matching the reference
-    exactly — the gate gradient is what trains the hypernet/codebook)."""
-    out, _ = _flash_forward(q, k, v, gate, block_q, interpret)
+    exactly — the gate gradient is what trains the hypernet/codebook).
+
+    The primal (inference) path skips the lse output; under jax.grad the
+    custom-vjp forward produces it as the backward's only residual beyond
+    q/k/v/gate themselves."""
+    out, _ = _flash_forward(q, k, v, gate, block_q, interpret, with_lse=False)
     return out
 
 
 def _fa_fwd(q, k, v, gate, block_q, interpret):
-    out, lse = _flash_forward(q, k, v, gate, block_q, interpret)
+    out, lse = _flash_forward(q, k, v, gate, block_q, interpret, with_lse=True)
     return out, (q, k, v, gate, lse)
 
 
 def _fa_bwd(block_q, interpret, res, g_out):
     q, k, v, gate, lse = res
-    dq, dk, dv, dgate = _flash_backward(q, k, v, gate, lse, g_out,
-                                        block_q, interpret)
+    dq, dk, dv, dgate = _flash_backward(q, k, v, gate, lse, do=g_out,
+                                        block_q=block_q, interpret=interpret)
     return dq, dk, dv, dgate
 
 

@@ -8,9 +8,15 @@ and each group runs through that expert's *materialised* pruned U-Net
 (models/unet/pruned.py) — real speedup (≈1.7× at the 0.6-MACs point,
 PERFORMANCE.md).
 
-Static-shape discipline: each expert generates fixed-size batches; groups
-are padded to the batch size (padded outputs dropped), so XLA compiles one
-program per (expert, batch-size) pair, cached across requests.
+Static-shape discipline with tiered batching: each expert runs one of a
+small set of power-of-two batch shapes (1, 2, …, batch_size); a group of n
+prompts is covered greedily by the largest tiers ≤ n plus one padded tail
+tier, so XLA compiles at most log2(batch_size)+1 programs per expert
+(cached across requests) and padding waste stays < the smallest tier that
+covers the tail — instead of up to batch_size-1 slots per group. The
+ServingQueue below adds continuous batching across submit() calls: pending
+prompts accumulate per expert and flush() drains them at the best tier
+shapes, keeping utilisation high under skewed expert assignment.
 """
 from __future__ import annotations
 
@@ -81,6 +87,64 @@ class ExpertServer:
         _, indices = self.base_pipeline.route(prompt_embeds, hyper_net_input)
         return np.asarray(indices)
 
+    @property
+    def batch_shapes(self) -> Tuple[int, ...]:
+        """Power-of-two tier sizes up to batch_size (ascending)."""
+        shapes, s = [], 1
+        while s < self.batch_size:
+            shapes.append(s)
+            s *= 2
+        shapes.append(self.batch_size)
+        return tuple(shapes)
+
+    @staticmethod
+    def plan_batches(n: int, shapes: Sequence[int]) -> List[Tuple[int, int]]:
+        """Cover n prompts with tier batches: greedy largest-tier-first, then
+        one padded tail tier. Returns [(tier_size, real_count), ...] with
+        sum(real_count) == n and minimal padded slots."""
+        plan: List[Tuple[int, int]] = []
+        biggest = shapes[-1]
+        while n >= biggest:
+            plan.append((biggest, biggest))
+            n -= biggest
+        if n > 0:
+            tail = next(s for s in shapes if s >= n)
+            plan.append((tail, n))
+        return plan
+
+    def _expert_pipe(self, e: int):
+        if not hasattr(self, "_expert_caches"):
+            self._expert_caches: Dict[int, dict] = {}
+        pipe = dataclasses.replace(
+            self.base_pipeline, unet=self.expert_models[e],
+            unet_params=self.expert_params[e])
+        # persist each expert's jitted trajectories across generate() calls
+        pipe._denoise_cache = self._expert_caches.setdefault(int(e), {})
+        return pipe
+
+    def _run_expert(self, e, rows, input_ids, neg_input_ids, key,
+                    num_inference_steps, guidance_scale, out_images):
+        """Generate `rows` through expert e using tier-planned batches.
+        Returns (device slots used, real images produced)."""
+        expert_pipe = self._expert_pipe(int(e))
+        used = 0
+        lo = 0
+        for tier, real in self.plan_batches(len(rows), self.batch_shapes):
+            chunk = rows[lo: lo + real]
+            lo += real
+            padded = np.concatenate([chunk, np.repeat(chunk[-1:], tier - real)])
+            key, sub = jax.random.split(key)
+            imgs = np.asarray(expert_pipe.generate_samples(
+                input_ids[jnp.asarray(padded)],
+                neg_input_ids[jnp.asarray(padded)],
+                sub, arch=None,
+                num_inference_steps=num_inference_steps,
+                guidance_scale=guidance_scale))
+            for j, r in enumerate(chunk):
+                out_images[int(r)] = imgs[j]
+            used += tier
+        return used
+
     def generate(
         self,
         input_ids: jax.Array,             # (N, 77)
@@ -97,31 +161,77 @@ class ExpertServer:
             neg_input_ids = jnp.tile(neg_input_ids, (n, 1))
         indices = self.route(input_ids, hyper_net_input)
 
-        base = self.base_pipeline
         out_images: Dict[int, np.ndarray] = {}
-        if not hasattr(self, "_expert_caches"):
-            self._expert_caches: Dict[int, dict] = {}
+        self.last_slots_used = 0   # observability: device batch slots spent
         for e in np.unique(indices):
             rows = np.nonzero(indices == e)[0]
-            expert_pipe = dataclasses.replace(
-                base, unet=self.expert_models[e],
-                unet_params=self.expert_params[e])
-            # persist each expert's jitted trajectory across generate() calls
-            expert_pipe._denoise_cache = self._expert_caches.setdefault(int(e), {})
-            for lo in range(0, len(rows), self.batch_size):
-                chunk = rows[lo: lo + self.batch_size]
-                # pad to the static batch size; drop padded outputs
-                padded = np.concatenate(
-                    [chunk, np.repeat(chunk[-1:], self.batch_size - len(chunk))])
-                key, sub = jax.random.split(key)
-                imgs = expert_pipe.generate_samples(
-                    input_ids[jnp.asarray(padded)],
-                    neg_input_ids[jnp.asarray(padded)],
-                    sub, arch=None,
-                    num_inference_steps=num_inference_steps,
-                    guidance_scale=guidance_scale)
-                imgs = np.asarray(imgs)
-                for j, r in enumerate(chunk):
-                    out_images[int(r)] = imgs[j]
+            key, sub = jax.random.split(key)
+            self.last_slots_used += self._run_expert(
+                e, rows, input_ids, neg_input_ids, sub,
+                num_inference_steps, guidance_scale, out_images)
         images = np.stack([out_images[i] for i in range(n)])
         return images, indices
+
+
+@dataclasses.dataclass
+class ServingQueue:
+    """Continuous batching across requests: submit() enqueues routed prompts;
+    flush() drains every expert's pending set at the best tier shapes. Under
+    skewed expert assignment this keeps utilisation near 1 where fixed-size
+    padding would waste most of the batch (reference has no serving story at
+    all — experts are only generated offline)."""
+    server: ExpertServer
+    num_inference_steps: int = 25
+    guidance_scale: float = 7.5
+
+    def __post_init__(self):
+        self._pending: List[Tuple[int, np.ndarray, np.ndarray, int]] = []
+        self._results: Dict[int, np.ndarray] = {}
+        self._next_id = 0
+
+    def submit(self, input_ids, neg_input_ids,
+               hyper_net_input=None) -> List[int]:
+        """Route and enqueue prompts; returns request ids."""
+        n = input_ids.shape[0]
+        if neg_input_ids.shape[0] == 1:
+            neg_input_ids = jnp.tile(neg_input_ids, (n, 1))
+        experts = self.server.route(input_ids, hyper_net_input)
+        ids = []
+        ii = np.asarray(input_ids)
+        nn_ = np.asarray(neg_input_ids)
+        for r in range(n):
+            rid = self._next_id
+            self._next_id += 1
+            self._pending.append((rid, ii[r], nn_[r], int(experts[r])))
+            ids.append(rid)
+        return ids
+
+    def pending_per_expert(self) -> Dict[int, int]:
+        out: Dict[int, int] = {}
+        for _, _, _, e in self._pending:
+            out[e] = out.get(e, 0) + 1
+        return out
+
+    def flush(self, key) -> Dict[int, np.ndarray]:
+        """Run everything pending; returns {request_id: image} for this
+        flush. Batches are tier-planned per expert over the FULL pending set,
+        so requests from different submit() calls share device batches."""
+        by_expert: Dict[int, List[Tuple[int, np.ndarray, np.ndarray]]] = {}
+        for rid, ids_row, neg_row, e in self._pending:
+            by_expert.setdefault(e, []).append((rid, ids_row, neg_row))
+        self._pending.clear()
+        flush_results: Dict[int, np.ndarray] = {}
+        self.last_slots_used = 0
+        for e, entries in by_expert.items():
+            ids = jnp.asarray(np.stack([x[1] for x in entries]))
+            negs = jnp.asarray(np.stack([x[2] for x in entries]))
+            rows = np.arange(len(entries))
+            out: Dict[int, np.ndarray] = {}
+            key, sub = jax.random.split(key)
+            self.last_slots_used += self.server._run_expert(
+                e, rows, ids, negs, sub,
+                self.num_inference_steps, self.guidance_scale, out)
+            for j, (rid, _, _) in enumerate(entries):
+                flush_results[rid] = out[j]
+        self._results.update(flush_results)
+        return flush_results

@@ -21,8 +21,7 @@ from diffusion_pruning_tpu.pipelines import PruningPipeline
 from diffusion_pruning_tpu.schedulers import DiffusionSchedule
 
 
-@pytest.fixture(scope="module")
-def tiny_pipeline():
+def build_tiny_pipeline():
     rng = jax.random.PRNGKey(0)
     ucfg = UNetConfig.tiny(cross_attention_dim=32)
     tcfg = CLIPTextConfig.tiny()  # hidden 32 == cross_attention_dim
@@ -55,6 +54,11 @@ def tiny_pipeline():
         quantizer=quantizer, quantizer_params=q_params, quantizer_state=q_state,
         schedule=DiffusionSchedule(),
     )
+
+
+@pytest.fixture(scope="module")
+def tiny_pipeline():
+    return build_tiny_pipeline()
 
 
 def test_routed_generation(tiny_pipeline):
