@@ -84,7 +84,7 @@ def main():
     mods = FineTunerModules(student=student, teacher=teacher,
                             vae=AutoencoderKL(VAEConfig.sd(), dtype=jnp.bfloat16),
                             text_encoder=text, schedule=DiffusionSchedule())
-    cfg = FineTuneConfig()
+    cfg = FineTuneConfig(adam_mu_bf16=os.environ.get("DPT_MU_BF16", "0") == "1")
     opt = make_finetune_optimizer(cfg, global_batch=BATCH)
     step = make_finetune_step(mods, cfg, opt, mesh=None, donate=True)
     opt_state = opt.init(student_params)

@@ -175,12 +175,66 @@ class Downsample(nn.Module):
 
 
 class Upsample(nn.Module):
+    """nearest-2× + conv3×3, computed as four 2×2 parity convs at SOURCE
+    resolution + pixel shuffle.
+
+    Because nearest upsampling duplicates pixels, each output-parity class
+    (di, dj) ∈ {0,1}² sees an effective 2×2 kernel built from row/col sums of
+    the 3×3 weights: rows [W₀, W₁+W₂] for parity 0 and [W₀+W₁, W₂] for
+    parity 1 (same along columns). Identical math (exact, incl. zero-pad
+    borders) at 16/36 of the FLOPs and without materialising the 4× repeated
+    tensor — upsampler convs are ~7% of the dense forward (profile,
+    PERFORMANCE.md). The parameter tree is the plain 3×3 `conv`, so
+    checkpoints are unchanged."""
     channels: int
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    subpixel: bool = True
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)  # nearest 2x
-        return conv3x3(self.channels, "conv", self.dtype, self.param_dtype)(x)
+        if not self.subpixel:
+            x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)  # nearest 2x
+            return conv3x3(self.channels, "conv", self.dtype, self.param_dtype)(x)
+
+        kernel, bias = _ConvParams(self.channels, self.param_dtype,
+                                   name="conv")(c)
+        kernel = kernel.astype(self.dtype)
+        xd = x.astype(self.dtype)
+        # parity-0 rows tap source (i-1, i) with [W₀, W₁+W₂]; parity-1 rows
+        # tap (i, i+1) with [W₀+W₁, W₂] — likewise along columns
+        row = (jnp.stack([kernel[0], kernel[1] + kernel[2]], axis=0),
+               jnp.stack([kernel[0] + kernel[1], kernel[2]], axis=0))
+        pad = ((1, 0), (0, 1))
+        dn = jax.lax.conv_dimension_numbers(xd.shape, (2, 2, c, self.channels),
+                                            ("NHWC", "HWIO", "NHWC"))
+        ys = []
+        for di in (0, 1):
+            kr = row[di]
+            col = (jnp.stack([kr[:, 0], kr[:, 1] + kr[:, 2]], axis=1),
+                   jnp.stack([kr[:, 0] + kr[:, 1], kr[:, 2]], axis=1))
+            for dj in (0, 1):
+                ys.append(jax.lax.conv_general_dilated(
+                    xd, col[dj], window_strides=(1, 1),
+                    padding=(pad[di], pad[dj]), dimension_numbers=dn))
+        y00, y01, y10, y11 = ys
+        out = jnp.stack([jnp.stack([y00, y01], axis=3),
+                         jnp.stack([y10, y11], axis=3)], axis=2)
+        out = out.reshape(b, 2 * h, 2 * w, self.channels)
+        return out + bias.astype(self.dtype)
+
+
+class _ConvParams(nn.Module):
+    """Parameter-only holder matching nn.Conv's `kernel`/`bias` tree, so the
+    subpixel Upsample keeps the exact checkpoint layout of the 3×3 conv."""
+    features: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, in_features, self.features), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          self.param_dtype)
+        return kernel, bias

@@ -48,6 +48,9 @@ class FineTuneConfig:
     max_grad_norm: Optional[float] = None
     noise_offset: float = 0.0
     input_perturbation: float = 0.0
+    # bf16 first moment (optax mu_dtype): frees ~1.7 GB for the SD-2.1 U-Net
+    # — with remat this fits the reference per-device batch 128 on one v5e
+    adam_mu_bf16: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,7 +73,8 @@ def make_finetune_optimizer(cfg: FineTuneConfig, global_batch: int,
          optax.constant_schedule(lr)],
         [cfg.lr_warmup_steps])
     tx = optax.adamw(sched, b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps,
-                     weight_decay=cfg.weight_decay)
+                     weight_decay=cfg.weight_decay,
+                     mu_dtype=jnp.bfloat16 if cfg.adam_mu_bf16 else None)
     if cfg.max_grad_norm and not elementwise:
         tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), tx)
     return tx

@@ -25,9 +25,14 @@ def init_distributed(coordinator: Optional[str] = None,
                      process_id: Optional[int] = None) -> None:
     """Initialise multi-host JAX. On TPU pods all arguments are discovered
     automatically; on other platforms pass coordinator='host:port' etc., or
-    set JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID."""
-    if jax.process_count() > 1:
-        return  # already initialised
+    set JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID.
+
+    MUST run before any backend touch: even `jax.process_count()` initialises
+    the single-process backend and makes `jax.distributed.initialize` fail —
+    a failure the old single-host fallback silently swallowed (caught by
+    tests/test_multihost_launch.py)."""
+    if jax.distributed.is_initialized():
+        return
     kwargs = {}
     coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if coordinator:
@@ -36,12 +41,17 @@ def init_distributed(coordinator: Optional[str] = None,
             num_processes=num_processes or int(os.environ["JAX_NUM_PROCESSES"]),
             process_id=process_id or int(os.environ["JAX_PROCESS_ID"]),
         )
-    try:
-        jax.distributed.initialize(**kwargs)
+        jax.distributed.initialize(**kwargs)  # explicit config: never swallow
         logger.info("distributed: process %d/%d, %d local / %d global devices",
                     jax.process_index(), jax.process_count(),
                     jax.local_device_count(), jax.device_count())
-    except Exception as e:  # single-host fallback
+        return
+    try:
+        jax.distributed.initialize()   # TPU-pod auto-discovery
+        logger.info("distributed: process %d/%d, %d local / %d global devices",
+                    jax.process_index(), jax.process_count(),
+                    jax.local_device_count(), jax.device_count())
+    except Exception as e:  # genuine single-host run
         logger.info("single-host run (%s)", e)
 
 

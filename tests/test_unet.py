@@ -193,3 +193,24 @@ def test_fused_norms_match_unfused(tiny):
                             .astype(jnp.float32) ** 2).mean())(
         jnp.full((2, spec.vq_dim), 0.8))
     assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
+
+
+def test_subpixel_upsample_exact():
+    """Subpixel Upsample (4 parity 2x2 convs + pixel shuffle) is EXACTLY the
+    nearest-2x + conv3x3 reference path, sharing one parameter tree."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from diffusion_pruning_tpu.models.unet.blocks import Upsample
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 7, 12))
+    sub = Upsample(10, subpixel=True)
+    ref = Upsample(10, subpixel=False)
+    params = sub.init(jax.random.PRNGKey(1), x)["params"]
+    assert set(params) == {"conv"} and set(params["conv"]) == {"kernel", "bias"}
+    assert params["conv"]["kernel"].shape == (3, 3, 12, 10)
+    got = sub.apply({"params": params}, x)
+    want = ref.apply({"params": params}, x)
+    assert got.shape == want.shape == (2, 10, 14, 10)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
