@@ -214,6 +214,56 @@ def convert_clip_text_state_dict(sd: dict, cfg) -> dict:
     return out
 
 
+def convert_clip_vision_state_dict(sd: dict, cfg) -> dict:
+    """HF CLIPVisionModel(WithProjection) / the vision_model inside a
+    diffusers StableDiffusionSafetyChecker → models/clip_vision.py params.
+    Handles the `vision_model.` prefix and HF's `pre_layrnorm` typo."""
+    pre = ""
+    # diffusers StableDiffusionSafetyChecker nests CLIPVisionModel, whose own
+    # state dict is itself prefixed → "vision_model.vision_model."
+    for cand in ("vision_model.vision_model.", "vision_model.",
+                 "clip.vision_model."):
+        if any(k.startswith(cand + "embeddings.") for k in sd):
+            pre = cand
+            break
+    def g(key):
+        return sd[f"{pre}{key}"]
+
+    out = {
+        "class_embedding": _np(g("embeddings.class_embedding")).reshape(-1),
+        "patch_embedding": {
+            "kernel": _np(g("embeddings.patch_embedding.weight")).transpose(2, 3, 1, 0)},
+        "position_embedding": _np(g("embeddings.position_embedding.weight")),
+        "post_layernorm": {"scale": _np(g("post_layernorm.weight")),
+                           "bias": _np(g("post_layernorm.bias"))},
+    }
+    # HF spells it "pre_layrnorm"
+    for name in ("pre_layrnorm", "pre_layernorm"):
+        if f"{pre}{name}.weight" in sd:
+            out["pre_layernorm"] = {"scale": _np(g(f"{name}.weight")),
+                                    "bias": _np(g(f"{name}.bias"))}
+            break
+    for i in range(cfg.num_layers):
+        p = f"{pre}encoder.layers.{i}"
+        out[f"layers_{i}_ln1"] = _norm(sd, f"{p}.layer_norm1")
+        out[f"layers_{i}_q"] = _linear(sd, f"{p}.self_attn.q_proj")
+        out[f"layers_{i}_k"] = _linear(sd, f"{p}.self_attn.k_proj")
+        out[f"layers_{i}_v"] = _linear(sd, f"{p}.self_attn.v_proj")
+        out[f"layers_{i}_out"] = _linear(sd, f"{p}.self_attn.out_proj")
+        out[f"layers_{i}_ln2"] = _norm(sd, f"{p}.layer_norm2")
+        out[f"layers_{i}_fc1"] = _linear(sd, f"{p}.mlp.fc1")
+        out[f"layers_{i}_fc2"] = _linear(sd, f"{p}.mlp.fc2")
+    proj_key = "visual_projection.weight"
+    if proj_key in sd:
+        out["visual_projection"] = {"kernel": _np(sd[proj_key]).T}
+    else:  # random projection when the checkpoint carries none
+        rng = np.random.RandomState(0)
+        out["visual_projection"] = {"kernel": rng.randn(
+            cfg.hidden_size, cfg.projection_dim).astype(np.float32)
+            / np.sqrt(cfg.hidden_size)}
+    return out
+
+
 def convert_mpnet_state_dict(sd: dict, cfg) -> dict:
     pre = "mpnet." if any(k.startswith("mpnet.") for k in sd) else ""
     out = {

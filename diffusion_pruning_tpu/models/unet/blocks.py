@@ -200,29 +200,38 @@ class Upsample(nn.Module):
 
         kernel, bias = _ConvParams(self.channels, self.param_dtype,
                                    name="conv")(c)
-        kernel = kernel.astype(self.dtype)
-        xd = x.astype(self.dtype)
-        # parity-0 rows tap source (i-1, i) with [W₀, W₁+W₂]; parity-1 rows
-        # tap (i, i+1) with [W₀+W₁, W₂] — likewise along columns
-        row = (jnp.stack([kernel[0], kernel[1] + kernel[2]], axis=0),
-               jnp.stack([kernel[0] + kernel[1], kernel[2]], axis=0))
-        pad = ((1, 0), (0, 1))
-        dn = jax.lax.conv_dimension_numbers(xd.shape, (2, 2, c, self.channels),
-                                            ("NHWC", "HWIO", "NHWC"))
-        ys = []
-        for di in (0, 1):
-            kr = row[di]
-            col = (jnp.stack([kr[:, 0], kr[:, 1] + kr[:, 2]], axis=1),
-                   jnp.stack([kr[:, 0] + kr[:, 1], kr[:, 2]], axis=1))
-            for dj in (0, 1):
-                ys.append(jax.lax.conv_general_dilated(
-                    xd, col[dj], window_strides=(1, 1),
-                    padding=(pad[di], pad[dj]), dimension_numbers=dn))
-        y00, y01, y10, y11 = ys
-        out = jnp.stack([jnp.stack([y00, y01], axis=3),
-                         jnp.stack([y10, y11], axis=3)], axis=2)
-        out = out.reshape(b, 2 * h, 2 * w, self.channels)
-        return out + bias.astype(self.dtype)
+        return subpixel_upsample_conv(x.astype(self.dtype),
+                                      kernel.astype(self.dtype),
+                                      bias.astype(self.dtype))
+
+
+def subpixel_upsample_conv(x: jnp.ndarray, kernel: jnp.ndarray,
+                           bias: jnp.ndarray) -> jnp.ndarray:
+    """nearest-2×-then-conv3×3, as four 2×2 parity convs + pixel shuffle.
+
+    Exact: parity-0 output rows tap source (i-1, i) with effective rows
+    [W₀, W₁+W₂]; parity-1 rows tap (i, i+1) with [W₀+W₁, W₂] — likewise
+    along columns. kernel: (3, 3, C_in, C_out) (the plain conv weights)."""
+    b, h, w, c = x.shape
+    cout = kernel.shape[-1]
+    row = (jnp.stack([kernel[0], kernel[1] + kernel[2]], axis=0),
+           jnp.stack([kernel[0] + kernel[1], kernel[2]], axis=0))
+    pad = ((1, 0), (0, 1))
+    dn = jax.lax.conv_dimension_numbers(x.shape, (2, 2, c, cout),
+                                        ("NHWC", "HWIO", "NHWC"))
+    ys = []
+    for di in (0, 1):
+        kr = row[di]
+        col = (jnp.stack([kr[:, 0], kr[:, 1] + kr[:, 2]], axis=1),
+               jnp.stack([kr[:, 0] + kr[:, 1], kr[:, 2]], axis=1))
+        for dj in (0, 1):
+            ys.append(jax.lax.conv_general_dilated(
+                x, col[dj], window_strides=(1, 1),
+                padding=(pad[di], pad[dj]), dimension_numbers=dn))
+    y00, y01, y10, y11 = ys
+    out = jnp.stack([jnp.stack([y00, y01], axis=3),
+                     jnp.stack([y10, y11], axis=3)], axis=2)
+    return out.reshape(b, 2 * h, 2 * w, cout) + bias
 
 
 class _ConvParams(nn.Module):

@@ -19,6 +19,21 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from diffusion_pruning_tpu.models.unet.blocks import subpixel_upsample_conv
+
+
+class _UpsampleConvParams(nn.Module):
+    """Param-only holder matching nn.Conv's kernel/bias tree (same
+    checkpoint layout as the plain 3×3 upsample conv it replaces)."""
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
 
 @dataclasses.dataclass(frozen=True)
 class VAEConfig:
@@ -127,8 +142,13 @@ class Decoder(nn.Module):
             for j in range(cfg.layers_per_block + 1):
                 h = _Resnet(ch, g, self.dtype, name=f"up_{i}_resnet_{j}")(h)
             if i < len(rev) - 1:
-                h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
-                h = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype, name=f"up_{i}_upsample")(h)
+                # nearest-2x + conv3x3 as subpixel parity convs (exact, 16/36
+                # FLOPs, no 4x materialised tensor — unet/blocks.py); the
+                # decoder's upsample convs run at full image resolution, so
+                # this is the decode path's dominant cost
+                kernel, bias = _UpsampleConvParams(ch, name=f"up_{i}_upsample")(h.shape[-1])
+                h = subpixel_upsample_conv(h, kernel.astype(self.dtype),
+                                           bias.astype(self.dtype))
         h = nn.silu(nn.GroupNorm(g, epsilon=1e-6, dtype=self.dtype, name="conv_norm_out")(h))
         return nn.Conv(cfg.in_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
 

@@ -209,6 +209,47 @@ def make_local_finetune_step(mods: FineTunerModules, cfg: FineTuneConfig,
     return local_step
 
 
+def make_finetune_step_gspmd(mods: FineTunerModules, cfg: FineTuneConfig,
+                             optimizer, mesh: Mesh,
+                             donate: bool = False) -> Callable:
+    """2-D data×model (dp×tp) fine-tune step via the GSPMD partitioner.
+
+    TPU-first alternative to the shard_map step for 512px+ or tight-HBM
+    configs: student/teacher params carry Megatron-style PartitionSpecs
+    (parallel/tp.py), the batch is sharded on the data axis, and XLA places
+    every collective (grad reductions over dp, activation all_reduces over
+    tp) — no hand-written pmean. Semantics are GLOBAL-batch (mathematically
+    identical to the single-device step with the same key, which the
+    equivalence test exploits). Params/opt-state should be pre-placed with
+    parallel.tp.shard_params (the moments inherit the param specs: a free
+    ZeRO-ish side effect of TP sharding on the model axis)."""
+    from jax.sharding import NamedSharding
+    from diffusion_pruning_tpu.parallel.tp import DATA_AXIS as TP_DATA_AXIS
+
+    data = NamedSharding(mesh, P(TP_DATA_AXIS))
+
+    def step(student_params, frozen, opt_state, batch, key):
+        batch = {k: jax.lax.with_sharding_constraint(v, data)
+                 for k, v in batch.items()}
+
+        (loss, metrics), grads = jax.value_and_grad(
+            lambda p: _losses(mods, cfg, p, frozen, batch, key), has_aux=True
+        )(student_params)
+        gnorm = optax.global_norm(grads)
+        good = jnp.isfinite(metrics["loss"]) & jnp.isfinite(gnorm)
+        grads = jax.tree.map(lambda g: jnp.where(good, g, jnp.zeros_like(g)), grads)
+        updates, new_opt = optimizer.update(grads, opt_state, student_params)
+        new_params = optax.apply_updates(student_params, updates)
+        new_params = jax.tree.map(lambda n, o: jnp.where(good, n, o),
+                                  new_params, student_params)
+        new_opt = jax.tree.map(lambda n, o: jnp.where(good, n, o),
+                               new_opt, opt_state)
+        return new_params, new_opt, metrics
+
+    donate_kw = {"donate_argnums": (0, 2)} if donate else {}
+    return jax.jit(step, **donate_kw)
+
+
 def make_finetune_validation_step(mods: FineTunerModules, cfg: FineTuneConfig,
                                   mesh: Optional[Mesh] = None) -> Callable:
     """Loss-only eval step (reference FineTuner.validate, trainer.py:1767-1818)."""

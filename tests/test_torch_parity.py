@@ -120,3 +120,49 @@ def test_mpnet_tiny_matches_torch():
 def test_mpnet_base_config_matches_torch():
     """Real all-mpnet-base-v2 shapes (d=768, 12 layers), random weights."""
     _mpnet_parity(MPNetConfig.base(), seq=64, atol=5e-4)
+
+
+from diffusion_pruning_tpu.models.clip_vision import (  # noqa: E402
+    CLIPVisionConfig,
+    CLIPVisionEncoder,
+)
+from diffusion_pruning_tpu.models.convert import (  # noqa: E402
+    convert_clip_vision_state_dict,
+)
+
+
+def _hf_clip_vision(cfg: CLIPVisionConfig):
+    hf_cfg = transformers.CLIPVisionConfig(
+        hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size,
+        num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads,
+        image_size=cfg.image_size,
+        patch_size=cfg.patch_size,
+        projection_dim=cfg.projection_dim,
+        layer_norm_eps=cfg.layer_norm_eps,
+        hidden_act=cfg.hidden_act,
+    )
+    torch.manual_seed(0)
+    return transformers.CLIPVisionModelWithProjection(hf_cfg).eval()
+
+
+def _clip_vision_parity(cfg: CLIPVisionConfig, atol: float):
+    model = _hf_clip_vision(cfg)
+    px = torch.randn(2, 3, cfg.image_size, cfg.image_size,
+                     generator=torch.Generator().manual_seed(4))
+    with torch.no_grad():
+        ref = model(px).image_embeds.numpy()
+    params = convert_clip_vision_state_dict(model.state_dict(), cfg)
+    _, ours = CLIPVisionEncoder(cfg).apply(
+        {"params": params}, jnp.asarray(px.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=atol)
+
+
+def test_clip_vision_tiny_matches_torch():
+    _clip_vision_parity(CLIPVisionConfig.tiny(), atol=1e-5)
+
+
+def test_clip_vision_vit_b32_config_matches_torch():
+    """Real ViT-B/32 shapes (the CLIP-score tower), random weights."""
+    _clip_vision_parity(CLIPVisionConfig.vit_b32(), atol=5e-4)

@@ -62,3 +62,60 @@ def test_tp_forward_matches_single_device(devices):
     # the big matmul params really are split over the model axis
     leaf = tp_params["mid_block_attentions_0"]["transformer_blocks_0"]["attn1"]["to_q"]["kernel"]
     assert len(leaf.sharding.device_set) >= 4
+
+
+def test_gspmd_dp_tp_finetune_step_matches_single_device(devices):
+    """2-D (data×model) GSPMD fine-tune step ≡ the single-device step with
+    the same key — global-batch semantics, XLA-placed collectives."""
+    from diffusion_pruning_tpu.models.text_encoders import CLIPTextConfig, CLIPTextEncoder
+    from diffusion_pruning_tpu.models.vae import AutoencoderKL, VAEConfig
+    from diffusion_pruning_tpu.parallel.tp import shard_params as tp_shard
+    from diffusion_pruning_tpu.schedulers import DiffusionSchedule
+    from diffusion_pruning_tpu.training.finetuner import (
+        FineTuneConfig, FineTunerModules, make_finetune_optimizer,
+        make_finetune_step, make_finetune_step_gspmd,
+    )
+
+    rng = jax.random.PRNGKey(0)
+    ucfg = UNetConfig.tiny(cross_attention_dim=32)
+    teacher = GatedUNet(ucfg)
+    dense = teacher.init_params(rng, batch=1)
+    student_params = jax.tree.map(jnp.asarray, dense)
+    res = ucfg.sample_size * 8
+    vae = AutoencoderKL(VAEConfig.tiny())
+    text = CLIPTextEncoder(CLIPTextConfig.tiny())
+    frozen = {
+        "teacher": dense,
+        "vae": vae.init(rng, jnp.zeros((1, res, res, 3)), rng)["params"],
+        "text": text.init(rng, jnp.zeros((1, 77), jnp.int32))["params"],
+    }
+    mods = FineTunerModules(student=teacher, teacher=teacher, vae=vae,
+                            text_encoder=text, schedule=DiffusionSchedule())
+    cfg = FineTuneConfig(lr_warmup_steps=0, scale_lr=False, unet_lr=1e-4)
+    b = 4
+    ks = jax.random.split(jax.random.PRNGKey(1), 2)
+    batch = {"pixel_values": jax.random.normal(ks[0], (b, res, res, 3)) * 0.5,
+             "input_ids": jax.random.randint(ks[1], (b, 77), 0, 128)}
+    key = jax.random.PRNGKey(2)
+
+    opt = make_finetune_optimizer(cfg, global_batch=b)
+    single = make_finetune_step(mods, cfg, opt, mesh=None)
+    s_params, s_opt, s_metrics = single(student_params, frozen,
+                                        opt.init(student_params), batch, key)
+
+    mesh = dp_tp_mesh(2, 2, devices[:4])
+    tp_student = tp_shard(mesh, student_params)
+    tp_frozen = dict(frozen, teacher=tp_shard(mesh, frozen["teacher"]))
+    tp_opt_state = opt.init(tp_student)
+    gstep = make_finetune_step_gspmd(mods, cfg, opt, mesh)
+    g_params, g_opt, g_metrics = gstep(tp_student, tp_frozen, tp_opt_state,
+                                       batch, key)
+
+    for k in s_metrics:
+        np.testing.assert_allclose(float(g_metrics[k]), float(s_metrics[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+    flat_s, _ = jax.tree_util.tree_flatten(jax.tree.map(np.asarray, s_params))
+    flat_g, _ = jax.tree_util.tree_flatten(jax.tree.map(np.asarray, g_params))
+    for i, (a, c) in enumerate(zip(flat_s, flat_g)):
+        np.testing.assert_allclose(c, a, rtol=1e-4, atol=2e-5,
+                                   err_msg=f"leaf {i}")
