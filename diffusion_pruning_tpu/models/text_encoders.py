@@ -179,3 +179,23 @@ def mean_pool(token_embeddings: jax.Array, attention_mask: jax.Array) -> jax.Arr
     """Masked mean pooling (data_utils.py:131-136)."""
     m = attention_mask[..., None].astype(token_embeddings.dtype)
     return (token_embeddings * m).sum(axis=1) / jnp.clip(m.sum(axis=1), 1e-9)
+
+
+def clip_pooled_text_features(hidden: jax.Array, input_ids: jax.Array,
+                              projection: Optional[jax.Array] = None,
+                              eos_token_id: Optional[int] = None) -> jax.Array:
+    """CLIP text-side pooling for CLIP-score: the final-LN hidden state at
+    the EOS position (HF CLIPTextModel pooled_output semantics — argmax of
+    input_ids when eos is the max id, else first eos occurrence), optionally
+    through `text_projection` (D, proj_dim). Pairs with the vision tower in
+    models/clip_vision.py for a fully native CLIP-score."""
+    if eos_token_id is None:
+        idx = jnp.argmax(input_ids, axis=-1)
+    else:
+        is_eos = (input_ids == eos_token_id).astype(jnp.int32)
+        idx = jnp.argmax(is_eos, axis=-1)
+    pooled = jnp.take_along_axis(hidden, idx[:, None, None].repeat(
+        hidden.shape[-1], axis=-1), axis=1)[:, 0]
+    if projection is not None:
+        pooled = pooled @ projection
+    return pooled

@@ -57,6 +57,7 @@ class ExpertServer:
         cfg: UNetConfig,
         expert_weights: Optional[Sequence[dict]] = None,
         batch_size: int = 4,
+        param_dtype=None,
     ) -> "ExpertServer":
         """Materialise every codebook entry as a pruned expert.
 
@@ -73,9 +74,14 @@ class ExpertServer:
             plan = make_expert_plan(spec, codes[e])
             models.append(GatedUNet(cfg, plan=plan, dtype=pipeline.unet.dtype))
             if expert_weights is not None and expert_weights[e] is not None:
-                params.append(expert_weights[e])
+                p = expert_weights[e]
             else:
-                params.append(slice_expert_params(dense_params, plan))
+                p = slice_expert_params(dense_params, plan)
+            if param_dtype is not None:
+                # serving precision: K materialised experts at f32 can exceed
+                # HBM (8 × 0.6-MACs SD-2.1 ≈ 17 GB); bf16 halves that
+                p = jax.tree.map(lambda x: jnp.asarray(x, param_dtype), p)
+            params.append(p)
             ratios.append(expert_macs_ratio(spec, plan))
         return cls(pipeline, models, params, ratios, batch_size)
 
@@ -115,11 +121,19 @@ class ExpertServer:
     def _expert_pipe(self, e: int):
         if not hasattr(self, "_expert_caches"):
             self._expert_caches: Dict[int, dict] = {}
+        base = self.base_pipeline
         pipe = dataclasses.replace(
-            self.base_pipeline, unet=self.expert_models[e],
+            base, unet=self.expert_models[e],
             unet_params=self.expert_params[e])
         # persist each expert's jitted trajectories across generate() calls
         pipe._denoise_cache = self._expert_caches.setdefault(int(e), {})
+        # SHARE the encode/decode jit cache with the base pipeline:
+        # dataclasses.replace drops instance attrs, and a fresh jax.jit per
+        # expert re-traces the VAE decoder every flush (~seconds each on a
+        # slow host — this was an 11× serving slowdown)
+        if not hasattr(base, "_fn_cache"):
+            base._fn_cache = {}
+        pipe._fn_cache = base._fn_cache
         return pipe
 
     def _run_expert(self, e, rows, input_ids, neg_input_ids, key,
@@ -134,12 +148,14 @@ class ExpertServer:
             lo += real
             padded = np.concatenate([chunk, np.repeat(chunk[-1:], tier - real)])
             key, sub = jax.random.split(key)
-            imgs = np.asarray(expert_pipe.generate_samples(
+            # keep results on device — callers materialise at the end, so
+            # dispatches pipeline instead of idling one round trip per batch
+            imgs = expert_pipe.generate_samples(
                 input_ids[jnp.asarray(padded)],
                 neg_input_ids[jnp.asarray(padded)],
                 sub, arch=None,
                 num_inference_steps=num_inference_steps,
-                guidance_scale=guidance_scale))
+                guidance_scale=guidance_scale)
             for j, r in enumerate(chunk):
                 out_images[int(r)] = imgs[j]
             used += tier
@@ -169,7 +185,7 @@ class ExpertServer:
             self.last_slots_used += self._run_expert(
                 e, rows, input_ids, neg_input_ids, sub,
                 num_inference_steps, guidance_scale, out_images)
-        images = np.stack([out_images[i] for i in range(n)])
+        images = np.stack([np.asarray(out_images[i]) for i in range(n)])
         return images, indices
 
 
@@ -233,5 +249,7 @@ class ServingQueue:
                 self.num_inference_steps, self.guidance_scale, out)
             for j, (rid, _, _) in enumerate(entries):
                 flush_results[rid] = out[j]
+        # materialise once at the end: all expert batches are already queued
+        flush_results = {rid: np.asarray(im) for rid, im in flush_results.items()}
         self._results.update(flush_results)
         return flush_results

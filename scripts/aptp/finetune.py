@@ -85,20 +85,37 @@ def main():
         lr_warmup_steps=cfg.training.optim.get("lr_warmup_steps", 100),
         scale_lr=cfg.training.optim.get("scale_lr", True),
     )
-    mesh = data_mesh()
-    n_dev = mesh.shape["data"]
-    global_batch = cfg.data.dataloader.get("train_batch_size", 8) * n_dev
-    # ZeRO-1 (optim.zero1): shard the AdamW moments over the data axis —
-    # ~6 GB/chip freed for the SD-2.1 U-Net on an 8-chip mesh
-    zero1 = bool(cfg.training.optim.get("zero1", n_dev > 1))
-    optimizer = make_finetune_optimizer(ft_cfg, global_batch, elementwise=zero1)
-    step = make_finetune_step(mods, ft_cfg, optimizer, mesh=mesh, donate=True,
-                              zero1=zero1)
+    # parallelism: 1-D data mesh (+ ZeRO-1) by default; optim.tensor_parallel
+    # = M switches to a 2-D data×model mesh with the GSPMD step
+    tp = int(cfg.training.optim.get("tensor_parallel", 1))
+    n_total = len(jax.devices())
     opt_state = None
-    if zero1:
-        from diffusion_pruning_tpu.parallel.zero1 import init_global_opt_state
-        opt_state = init_global_opt_state(
-            optimizer, jax.tree.map(jnp.asarray, student_params), mesh)
+    if tp > 1:
+        from diffusion_pruning_tpu.parallel.tp import dp_tp_mesh, shard_params
+        from diffusion_pruning_tpu.training.finetuner import make_finetune_step_gspmd
+        assert n_total % tp == 0, (n_total, tp)
+        mesh = dp_tp_mesh(n_total // tp, tp)
+        n_dev = n_total // tp
+        global_batch = cfg.data.dataloader.get("train_batch_size", 8) * n_dev
+        optimizer = make_finetune_optimizer(ft_cfg, global_batch)
+        student_params = shard_params(mesh, jax.tree.map(jnp.asarray, student_params))
+        frozen["teacher"] = shard_params(mesh, frozen["teacher"])
+        step = make_finetune_step_gspmd(mods, ft_cfg, optimizer, mesh, donate=True)
+        opt_state = optimizer.init(student_params)
+    else:
+        mesh = data_mesh()
+        n_dev = mesh.shape["data"]
+        global_batch = cfg.data.dataloader.get("train_batch_size", 8) * n_dev
+        # ZeRO-1 (optim.zero1): shard the AdamW moments over the data axis —
+        # ~6 GB/chip freed for the SD-2.1 U-Net on an 8-chip mesh
+        zero1 = bool(cfg.training.optim.get("zero1", n_dev > 1))
+        optimizer = make_finetune_optimizer(ft_cfg, global_batch, elementwise=zero1)
+        step = make_finetune_step(mods, ft_cfg, optimizer, mesh=mesh, donate=True,
+                                  zero1=zero1)
+        if zero1:
+            from diffusion_pruning_tpu.parallel.zero1 import init_global_opt_state
+            opt_state = init_global_opt_state(
+                optimizer, jax.tree.map(jnp.asarray, student_params), mesh)
 
     loop_cfg = LoopConfig(
         max_train_steps=cfg.training.get("max_train_steps", 30000),

@@ -166,3 +166,42 @@ def test_clip_vision_tiny_matches_torch():
 def test_clip_vision_vit_b32_config_matches_torch():
     """Real ViT-B/32 shapes (the CLIP-score tower), random weights."""
     _clip_vision_parity(CLIPVisionConfig.vit_b32(), atol=5e-4)
+
+
+def test_clip_text_pooled_projection_matches_torch():
+    """CLIP-score text side: EOS pooling + text_projection vs HF
+    CLIPTextModelWithProjection."""
+    from diffusion_pruning_tpu.models.text_encoders import clip_pooled_text_features
+
+    cfg = CLIPTextConfig.tiny()
+    hf_cfg = transformers.CLIPTextConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size, num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads, max_position_embeddings=cfg.max_positions,
+        layer_norm_eps=cfg.layer_norm_eps, hidden_act="gelu",
+        projection_dim=16, eos_token_id=2, bos_token_id=1, pad_token_id=0)
+    torch.manual_seed(0)
+    model = transformers.CLIPTextModelWithProjection(hf_cfg).eval()
+
+    g = torch.Generator().manual_seed(7)
+    # CLIP-tokenizer convention: eos is the LARGEST token id, so HF's legacy
+    # argmax(input_ids) pooling (kept for eos_token_id==2 checkpoints, i.e.
+    # every OpenAI CLIP) lands on the eos position
+    eos = cfg.vocab_size - 1
+    ids = torch.randint(3, cfg.vocab_size - 1, (3, 12), generator=g)
+    lengths = [12, 9, 5]
+    for r, L in enumerate(lengths):
+        ids[r, L - 1] = eos
+        ids[r, L:] = 0             # pad
+    with torch.no_grad():
+        ref = model(ids).text_embeds.numpy()
+
+    params = convert_clip_text_state_dict(model.state_dict(), cfg)
+    hidden = CLIPTextEncoder(cfg).apply({"params": params},
+                                        jnp.asarray(ids.numpy()))
+    proj = jnp.asarray(model.text_projection.weight.detach().numpy().T)
+    for kw in ({"eos_token_id": None}, {"eos_token_id": eos}):
+        ours = clip_pooled_text_features(hidden, jnp.asarray(ids.numpy()),
+                                         projection=proj, **kw)
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-5,
+                                   err_msg=str(kw))
