@@ -134,17 +134,26 @@ def _losses(mods: FineTunerModules, cfg: FineTuneConfig,
 
 def make_finetune_step(mods: FineTunerModules, cfg: FineTuneConfig,
                        optimizer, mesh: Optional[Mesh] = None,
-                       donate: bool = False, zero1: bool = False) -> Callable:
+                       donate: bool = False, zero1: bool = False,
+                       accum_steps: int = 1) -> Callable:
     """zero1=True shards the AdamW moments over the data axis (ZeRO-1,
     parallel/zero1.py): pass an ELEMENTWISE optimizer
     (make_finetune_optimizer(..., elementwise=True)) and an opt_state from
-    parallel.zero1.init_global_opt_state."""
+    parallel.zero1.init_global_opt_state.
+
+    accum_steps>1 = gradient accumulation (the reference's accelerate
+    `gradient_accumulation_steps`, trainer.py:114): the per-device batch is
+    split into accum_steps micro-batches scanned inside the one jitted step
+    (one optimizer update, averaged grads/metrics). Activation memory scales
+    with the micro-batch — the route to the reference's effective batch 128
+    on a 16 GB chip."""
     axis_name = DATA_AXIS if mesh is not None else None
     if zero1:
         assert mesh is not None, "ZeRO-1 needs a mesh"
     local_step = make_local_finetune_step(mods, cfg, optimizer, axis_name,
                                           zero1=zero1,
-                                          axis_size=mesh.shape[DATA_AXIS] if mesh else 1)
+                                          axis_size=mesh.shape[DATA_AXIS] if mesh else 1,
+                                          accum_steps=accum_steps)
     donate_kw = {"donate_argnums": (0, 2)} if donate else {}
     if mesh is None:
         return jax.jit(local_step, **donate_kw)
@@ -162,7 +171,8 @@ def make_finetune_step(mods: FineTunerModules, cfg: FineTuneConfig,
 
 def make_local_finetune_step(mods: FineTunerModules, cfg: FineTuneConfig,
                              optimizer, axis_name: Optional[str],
-                             zero1: bool = False, axis_size: int = 1) -> Callable:
+                             zero1: bool = False, axis_size: int = 1,
+                             accum_steps: int = 1) -> Callable:
     """Per-shard step body (pre-shard_map); exposed for the vmap-emulation
     equivalence tests (shard_map ≡ vmap over the data axis)."""
 
@@ -170,9 +180,32 @@ def make_local_finetune_step(mods: FineTunerModules, cfg: FineTuneConfig,
         if axis_name is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
 
-        (loss, metrics), grads = jax.value_and_grad(
-            lambda p: _losses(mods, cfg, p, frozen, batch, key), has_aux=True
-        )(student_params)
+        if accum_steps > 1:
+            micro = {k: v.reshape(accum_steps, v.shape[0] // accum_steps,
+                                  *v.shape[1:]) for k, v in batch.items()}
+            keys = jax.random.split(key, accum_steps)
+            zero_g = jax.tree.map(jnp.zeros_like, student_params)
+
+            def body(acc, xs):
+                mb, kk = xs
+                (l, m), g = jax.value_and_grad(
+                    lambda p: _losses(mods, cfg, p, frozen, mb, kk),
+                    has_aux=True)(student_params)
+                acc_g, acc_m = acc
+                return (jax.tree.map(jnp.add, acc_g, g),
+                        jax.tree.map(jnp.add, acc_m, m)), None
+
+            zero_m = {k: jnp.zeros((), jnp.float32)
+                      for k in ("loss", "diffusion_loss",
+                                "distillation_loss", "block_loss")}
+            (grads, metrics), _ = jax.lax.scan(body, (zero_g, zero_m),
+                                               (micro, keys))
+            grads = jax.tree.map(lambda g: g / accum_steps, grads)
+            metrics = jax.tree.map(lambda m: m / accum_steps, metrics)
+        else:
+            (loss, metrics), grads = jax.value_and_grad(
+                lambda p: _losses(mods, cfg, p, frozen, batch, key), has_aux=True
+            )(student_params)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             metrics = jax.lax.pmean(metrics, axis_name)

@@ -110,8 +110,9 @@ def main():
         # ~6 GB/chip freed for the SD-2.1 U-Net on an 8-chip mesh
         zero1 = bool(cfg.training.optim.get("zero1", n_dev > 1))
         optimizer = make_finetune_optimizer(ft_cfg, global_batch, elementwise=zero1)
-        step = make_finetune_step(mods, ft_cfg, optimizer, mesh=mesh, donate=True,
-                                  zero1=zero1)
+        step = make_finetune_step(
+            mods, ft_cfg, optimizer, mesh=mesh, donate=True, zero1=zero1,
+            accum_steps=int(cfg.training.get("gradient_accumulation_steps", 1)))
         if zero1:
             from diffusion_pruning_tpu.parallel.zero1 import init_global_opt_state
             opt_state = init_global_opt_state(

@@ -1,5 +1,6 @@
 """Stage-2 fine-tuning step + loop resume tests."""
 import numpy as np
+import optax
 import jax
 import jax.numpy as jnp
 import pytest
@@ -119,3 +120,47 @@ def test_ema_tracks_params(setup):
     d_cur = np.abs(ema - cur).mean()
     d_init = np.abs(ema - init).mean()
     assert d_cur > 0 and d_init > 0
+
+
+def test_gradient_accumulation_matches_manual_average(setup):
+    """accum_steps=2: the scanned micro-batch accumulation equals manually
+    averaging the two micro-batch gradients (same key split) and applying
+    one optimizer update (the reference's accelerate
+    gradient_accumulation_steps semantics, trainer.py:114)."""
+    from diffusion_pruning_tpu.training.finetuner import _losses, make_local_finetune_step
+
+    mods, frozen, student_params, arch, res = setup
+    cfg = FineTuneConfig(lr_warmup_steps=0, scale_lr=False, unet_lr=1e-4)
+    opt = make_finetune_optimizer(cfg, global_batch=4)
+    params = jax.tree.map(jnp.asarray, student_params)
+    opt_state = opt.init(params)
+    batch = _batch(res, b=4, key=9)
+    key = jax.random.PRNGKey(11)
+
+    acc_step = jax.jit(make_local_finetune_step(mods, cfg, opt, None,
+                                                accum_steps=2))
+    a_params, a_opt, a_metrics = acc_step(params, frozen, opt_state, batch, key)
+
+    # manual reference: two micro grads with the same split keys, averaged
+    keys = jax.random.split(key, 2)
+    micro = {k: v.reshape(2, 2, *v.shape[1:]) for k, v in batch.items()}
+    grads, metrics = None, None
+    for i in range(2):
+        mb = {k: v[i] for k, v in micro.items()}
+        (_, m), g = jax.value_and_grad(
+            lambda p: _losses(mods, cfg, p, frozen, mb, keys[i]), has_aux=True
+        )(params)
+        grads = g if grads is None else jax.tree.map(jnp.add, grads, g)
+        metrics = m if metrics is None else jax.tree.map(jnp.add, metrics, m)
+    grads = jax.tree.map(lambda x: x / 2, grads)
+    updates, _ = opt.update(grads, opt_state, params)
+    want_params = optax.apply_updates(params, updates)
+
+    for k in a_metrics:
+        np.testing.assert_allclose(float(a_metrics[k]),
+                                   float(metrics[k]) / 2, rtol=1e-5, err_msg=k)
+    flat_a, _ = jax.tree_util.tree_flatten(a_params)
+    flat_w, _ = jax.tree_util.tree_flatten(want_params)
+    for i, (x, y) in enumerate(zip(flat_a, flat_w)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-3, atol=5e-5, err_msg=f"leaf {i}")
