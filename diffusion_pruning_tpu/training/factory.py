@@ -56,45 +56,62 @@ def _exists(path: Optional[str]) -> bool:
     return bool(path) and os.path.exists(path)
 
 
+def _cast(params, param_dtype):
+    """Frozen-model mixed precision: the reference casts frozen weights to
+    the accelerate weight_dtype (trainer.py:456-466) — halves their HBM
+    footprint and read traffic. Trainable params stay f32."""
+    if param_dtype is None:
+        return jax.tree.map(jnp.asarray, params)
+    return jax.tree.map(lambda x: jnp.asarray(x, param_dtype), params)
+
+
 def build_unet(ucfg: UNetConfig, sd_root: Optional[str], dtype=jnp.float32,
-               plan=None) -> Tuple[GatedUNet, dict]:
+               plan=None, param_dtype=None) -> Tuple[GatedUNet, dict]:
     model = GatedUNet(ucfg, plan=plan, dtype=dtype)
     sub = os.path.join(sd_root or "", "unet")
     if _exists(sub):
         sd = convert.load_torch_state_dict(sub)
-        params = jax.tree.map(jnp.asarray, convert.convert_unet_state_dict(sd, ucfg))
+        params = _cast(convert.convert_unet_state_dict(sd, ucfg), param_dtype)
         logger.info("loaded U-Net weights from %s", sub)
     else:
         logger.warning("U-Net checkpoint %s missing — random init", sub)
         params = model.init_params(jax.random.PRNGKey(0), batch=1)
+        if param_dtype is not None:
+            params = _cast(params, param_dtype)
     return model, params
 
 
-def build_vae(sd_root: Optional[str], tiny: bool = False, dtype=jnp.float32):
+def build_vae(sd_root: Optional[str], tiny: bool = False, dtype=jnp.float32,
+              param_dtype=None):
     vcfg = VAEConfig.tiny() if tiny else VAEConfig.sd()
     model = AutoencoderKL(vcfg, dtype=dtype)
     sub = os.path.join(sd_root or "", "vae")
     if _exists(sub):
         sd = convert.load_torch_state_dict(sub)
-        params = jax.tree.map(jnp.asarray, convert.convert_vae_state_dict(sd, vcfg))
+        params = _cast(convert.convert_vae_state_dict(sd, vcfg), param_dtype)
     else:
         logger.warning("VAE checkpoint %s missing — random init", sub)
         res = 32 if tiny else 256
         params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, res, res, 3)),
                             jax.random.PRNGKey(1))["params"]
+        if param_dtype is not None:
+            params = _cast(params, param_dtype)
     return model, params
 
 
-def build_text_encoder(sd_root: Optional[str], tiny: bool = False, dtype=jnp.float32):
+def build_text_encoder(sd_root: Optional[str], tiny: bool = False, dtype=jnp.float32,
+                       param_dtype=None):
     tcfg = CLIPTextConfig.tiny() if tiny else CLIPTextConfig.sd21()
     model = CLIPTextEncoder(tcfg, dtype=dtype)
     sub = os.path.join(sd_root or "", "text_encoder")
     if _exists(sub):
         sd = convert.load_torch_state_dict(sub)
-        params = jax.tree.map(jnp.asarray, convert.convert_clip_text_state_dict(sd, tcfg))
+        params = _cast(convert.convert_clip_text_state_dict(sd, tcfg), param_dtype)
     else:
         logger.warning("text encoder checkpoint %s missing — random init", sub)
         params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 77), jnp.int32))["params"]
+        if param_dtype is not None:
+            params = _cast(params, param_dtype)
     return model, params
 
 

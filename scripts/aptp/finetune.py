@@ -63,19 +63,25 @@ def main():
     from diffusion_pruning_tpu.utils.checkpoint import save_torch_artifact
     save_torch_artifact(arch_vector, os.path.join(run_dir, "arch_vector.pt"))
 
+    mp = cfg.training.get("mixed_precision") or args.compute_dtype
+    pdt = jnp.bfloat16 if mp in ("bf16", "bfloat16") else None
+    # teacher is frozen — bf16 params halve its HBM footprint/traffic;
+    # the STUDENT stays f32 (it trains)
     teacher, teacher_params = build_unet(ucfg, sd_root, dtype=dtype)
+    frozen_teacher_params = teacher_params if pdt is None else jax.tree.map(
+        lambda x: jnp.asarray(x, pdt), teacher_params)
     plan = make_expert_plan(spec, arch_vector)
     student = GatedUNet(ucfg, plan=plan, dtype=dtype)
     student_params = slice_expert_params(teacher_params, plan)
     print(f"expert {args.expert_id}: MACs ratio "
           f"{expert_macs_ratio(spec, plan):.3f} of dense", file=sys.stderr)
 
-    vae, vae_params = build_vae(sd_root, tiny=tiny, dtype=dtype)
-    text, text_params = build_text_encoder(sd_root, tiny=tiny, dtype=dtype)
+    vae, vae_params = build_vae(sd_root, tiny=tiny, dtype=dtype, param_dtype=pdt)
+    text, text_params = build_text_encoder(sd_root, tiny=tiny, dtype=dtype, param_dtype=pdt)
     schedule = build_schedule(cfg)
     mods = FineTunerModules(student=student, teacher=teacher, vae=vae,
                             text_encoder=text, schedule=schedule)
-    frozen = {"teacher": teacher_params, "vae": vae_params, "text": text_params}
+    frozen = {"teacher": frozen_teacher_params, "vae": vae_params, "text": text_params}
 
     ft_cfg = FineTuneConfig(
         snr_gamma=cfg.training.losses.diffusion_loss.get("snr_gamma"),

@@ -55,9 +55,14 @@ def main():
     ucfg = unet_config_from_yaml(cfg, tiny=tiny)
     from diffusion_pruning_tpu.core import build_structure
     spec = build_structure(ucfg)
-    unet, unet_params = build_unet(ucfg, sd_root, dtype=dtype)
-    vae, vae_params = build_vae(sd_root, tiny=tiny, dtype=dtype)
-    text, text_params = build_text_encoder(sd_root, tiny=tiny, dtype=dtype)
+    # frozen-model mixed precision (reference trainer.py:456-466): the
+    # U-Net / VAE / text encoder are all frozen in stage 1 — their params
+    # follow training.mixed_precision (default = the compute dtype)
+    mp = cfg.training.get("mixed_precision") or args.compute_dtype
+    pdt = jnp.bfloat16 if mp in ("bf16", "bfloat16") else None
+    unet, unet_params = build_unet(ucfg, sd_root, dtype=dtype, param_dtype=pdt)
+    vae, vae_params = build_vae(sd_root, tiny=tiny, dtype=dtype, param_dtype=pdt)
+    text, text_params = build_text_encoder(sd_root, tiny=tiny, dtype=dtype, param_dtype=pdt)
     mpnet, mpnet_params = build_mpnet(args.prompt_encoder_model_name_or_path, tiny=tiny)
     mp_dim = 768 if not tiny else mpnet.cfg.hidden_size
     hypernet, hn_params = build_hypernet(spec, cfg, input_dim=mp_dim)
