@@ -63,11 +63,20 @@ def main():
     )
     log("materialising params on device")
     rng = jax.random.PRNGKey(0)
+    # every model in `frozen` really is frozen in stage 1 → bf16 params
+    # (the reference's mixed-precision weight_dtype cast, trainer.py:456-466)
+    mp_bf16 = os.environ.get("DPT_MP_BF16", "1") == "1"
+
+    def maybe_bf16(st):
+        if not mp_bf16:
+            return st
+        return jax.tree.map(lambda s: jax.ShapeDtypeStruct(s.shape, jnp.bfloat16), st)
+
     frozen = {
-        "unet": random_params_like(shape_tree(
-            lambda: mods.unet.init_params(rng, batch=1))),
-        "text": random_params_like(shape_tree(
-            lambda: mods.text_encoder.init(rng, jnp.zeros((1, 77), jnp.int32))["params"]), 1),
+        "unet": random_params_like(maybe_bf16(shape_tree(
+            lambda: mods.unet.init_params(rng, batch=1)))),
+        "text": random_params_like(maybe_bf16(shape_tree(
+            lambda: mods.text_encoder.init(rng, jnp.zeros((1, 77), jnp.int32))["params"])), 1),
     }
     if LATENT_CACHE:
         frozen["vae"] = {}

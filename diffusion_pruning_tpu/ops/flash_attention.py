@@ -49,6 +49,17 @@ def _pick_block(block_q: int, s_q: int, s_kv: int, live_mats: int) -> int:
     return max(blk, 8)
 
 
+def _train_block(block_q: int, s_q: int, s_kv: int) -> int:
+    """The SHARED q-block for training forward + dq backward. They must
+    agree because lse/delta are stored q-block-granular — (B·H, n_q, blk),
+    whose (1, 1, blk) tiles are legal for ANY blk (last block dim equals the
+    array dim; a flat (…, 1, S) row would need blk % 128 == 0, which the
+    VMEM-constrained 512px backward block of 64 violates)."""
+    blk = _pick_block(block_q, s_q, s_kv, live_mats=4)
+    assert s_q % blk == 0, (s_q, blk)
+    return blk
+
+
 def _attn_kernel(g_ref, q_ref, k_ref, v_ref, o_ref, lse_ref=None, *,
                  scale: float, gated: bool):
     # g: scalar-prefetch (B·H,) in SMEM; q: (1, blk_q, d); k/v: (1, s_kv, d)
@@ -74,10 +85,12 @@ def _attn_kernel(g_ref, q_ref, k_ref, v_ref, o_ref, lse_ref=None, *,
         o = o * g_ref[pl.program_id(0)].astype(jnp.float32)
     o_ref[0] = o.astype(o_ref.dtype)
     if lse_ref is not None:
-        # lse rides in ROW layout (1, blk): a (blk, 1) column block tiles to
+        # lse rides q-block-granular in a revisited (1, n_q, blk) buffer:
+        # each grid step writes ITS row. A (blk, 1) column layout would tile
         # T(8,128) with a 128× lane pad — 72 MB of HBM waste per layer at
-        # 1024 tokens, and it is a saved residual (the round-1 OOM source)
-        lse_ref[0] = (m + jnp.log(denom)).reshape(1, -1)
+        # 1024 tokens, saved as a residual (the round-1 OOM source); and
+        # (1, 1, blk) tiles are illegal when blk < 128 or n_q ∤ 8.
+        lse_ref[0, pl.program_id(1)] = (m + jnp.log(denom)).reshape(-1)
 
 
 def _flash_forward(
@@ -99,8 +112,12 @@ def _flash_forward(
         return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
 
     qf, kf, vf = bh(q), bh(k), bh(v)
-    blk = _pick_block(block_q, s_q, s_kv, live_mats=2)
-    grid = (b * h, pl.cdiv(s_q, blk))
+    # training must share the backward's q-block (lse is q-block-granular);
+    # inference is free to use the bigger block
+    blk = (_train_block(block_q, s_q, s_kv) if with_lse
+           else _pick_block(block_q, s_q, s_kv, live_mats=2))
+    n_q = pl.cdiv(s_q, blk)
+    grid = (b * h, n_q)
 
     # gate rides as a scalar-prefetch array: full (B·H,) in SMEM, indexed by
     # the grid position (a (1,1)-blocked operand would violate the TPU tile
@@ -120,15 +137,18 @@ def _flash_forward(
             pl.BlockSpec((1, s_kv, d), lambda i, j, g: (i, 0, 0)),
         ],
         out_specs=(
+            # lse is (B·H, n_q, blk), carried as a full revisited block (its
+            # index map ignores j) — every smaller tiling of it is illegal
+            # for some training shape (blk=64 at 512px, n_q=2 cross-attn)
             [pl.BlockSpec((1, blk, d), lambda i, j, g: (i, j, 0)),
-             pl.BlockSpec((1, 1, blk), lambda i, j, g: (i, 0, j))]
+             pl.BlockSpec((1, n_q, blk), lambda i, j, g: (i, 0, 0))]
             if with_lse else
             [pl.BlockSpec((1, blk, d), lambda i, j, g: (i, j, 0))]
         ),
     )
     out_shape = [jax.ShapeDtypeStruct((b * h, s_q, d), q.dtype)]
     if with_lse:
-        out_shape.append(jax.ShapeDtypeStruct((b * h, 1, s_q), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((b * h, n_q, blk), jnp.float32))
     res = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale, gated=gated),
         grid_spec=grid_spec,
@@ -154,7 +174,8 @@ def _flash_bwd_dq_kernel(g_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     k = k_ref[0].astype(jnp.float32) * gated_g
     v = v_ref[0].astype(jnp.float32) * gated_g
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0].reshape(-1, 1)      # row (1, blk) → column (blk, 1)
+    # full (n_q, blk) revisited buffer; this step's row → column (blk, 1)
+    lse = lse_ref[0, pl.program_id(1)].reshape(-1, 1)
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
@@ -168,7 +189,7 @@ def _flash_bwd_dq_kernel(g_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     ds = p * (dp - delta) * scale
     dq_masked = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)
-    delta_ref[0] = delta.reshape(1, -1)
+    delta_ref[0, pl.program_id(1)] = delta.reshape(-1)
     if gated:
         dq_ref[0] = (dq_masked * gated_g).astype(dq_ref.dtype)
 
@@ -250,27 +271,29 @@ def _flash_backward(q, k, v, gate, lse, do, block_q, interpret):
     qf, kf, vf, dof = bh(q), bh(k), bh(v), bh(do)
     gf = (gate.astype(jnp.float32).reshape(b * h) if gated
           else jnp.ones((1,), jnp.float32))
-    lsef = lse  # (b*h, 1, s_q) row layout
+    lsef = lse  # (b*h, n_q, blk_q) — q-block-granular rows from the forward
 
     # dgate partial accumulators: one scalar per (batch·head), carried in a
     # revisited (1, 8, 128) VMEM block (the minimal legal TPU tile)
     dg_shape = jax.ShapeDtypeStruct((b * h, 8, 128), jnp.float32)
     dg_spec = pl.BlockSpec((1, 8, 128), lambda i, j, g: (i, 0, 0))
 
-    blk_q = _pick_block(block_q, s_q, s_kv, live_mats=4)
+    blk_q = _train_block(block_q, s_q, s_kv)   # == the forward's lse blocking
+    n_q = pl.cdiv(s_q, blk_q)
+    assert lsef.shape == (b * h, n_q, blk_q), (lsef.shape, n_q, blk_q)
     dq_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b * h, pl.cdiv(s_q, blk_q)),
+        grid=(b * h, n_q),
         in_specs=[
             pl.BlockSpec((1, blk_q, d), lambda i, j, g: (i, j, 0)),
             pl.BlockSpec((1, s_kv, d), lambda i, j, g: (i, 0, 0)),
             pl.BlockSpec((1, s_kv, d), lambda i, j, g: (i, 0, 0)),
             pl.BlockSpec((1, blk_q, d), lambda i, j, g: (i, j, 0)),
-            pl.BlockSpec((1, 1, blk_q), lambda i, j, g: (i, 0, j)),
+            pl.BlockSpec((1, n_q, blk_q), lambda i, j, g: (i, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, blk_q, d), lambda i, j, g: (i, j, 0)),
-            pl.BlockSpec((1, 1, blk_q), lambda i, j, g: (i, 0, j)),
+            pl.BlockSpec((1, n_q, blk_q), lambda i, j, g: (i, 0, 0)),
             dg_spec,
         ],
     )
@@ -279,14 +302,18 @@ def _flash_backward(q, k, v, gate, lse, do, block_q, interpret):
         grid_spec=dq_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b * h, s_q, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, 1, s_q), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, n_q, blk_q), jnp.float32),
             dg_shape,
         ],
         interpret=interpret,
     )(gf, qf, kf, vf, dof, lsef)
 
-    # lse/delta are already in the (b·h, 1, s_q) row layout the dkv kernel
-    # consumes — no XLA reshape pass between the kernels
+    # the dkv kernel wants (1, s_q) rows; the q-block-granular buffers are
+    # row-major over (n_q, blk) so this is a FREE logical reshape of a tiny
+    # (s_q floats per batch·head) array — Mosaic cannot do the sublane→lane
+    # merge in-kernel ("unsupported shape cast"), XLA can outside
+    lse_row = lsef.reshape(b * h, 1, s_q)
+    delta_row = deltaf.reshape(b * h, 1, s_q)
     blk_kv = _pick_block(block_q, s_kv, s_q, live_mats=4)
     dkv_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -314,7 +341,7 @@ def _flash_backward(q, k, v, gate, lse, do, block_q, interpret):
             dg_shape,
         ],
         interpret=interpret,
-    )(gf, qf, kf, vf, dof, lsef, deltaf)
+    )(gf, qf, kf, vf, dof, lse_row, delta_row)
 
     def unbh(x, s):
         return x.reshape(b, h, s, d).transpose(0, 2, 1, 3)

@@ -250,6 +250,7 @@ def make_pruner_step(
     mesh: Optional[Mesh] = None,
     pretrain: bool = False,
     donate: bool = False,
+    accum_steps: int = 1,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -258,17 +259,21 @@ def make_pruner_step(
 
     With a mesh, the batch is consumed sharded on the data axis and all
     collectives (Sinkhorn psum, contrastive all_gather, grad pmean) run over
-    ICI inside the one compiled program.
+    ICI inside the one compiled program. accum_steps>1 scans micro-batches
+    inside the step (the reference's accelerate gradient_accumulation_steps;
+    Sinkhorn/contrastive span one micro-batch×mesh like the reference's
+    per-micro-batch step calls).
     """
     p_actual = mods.resource_model.actual_pruning_target(cfg.pruning_target)
     axis_name = DATA_AXIS if mesh is not None else None
     axis_size = mesh.shape[DATA_AXIS] if mesh is not None else 1
     return _wrap_step(make_local_pruner_step(
-        mods, cfg, optimizer, axis_name, axis_size, pretrain, p_actual), mesh, donate)
+        mods, cfg, optimizer, axis_name, axis_size, pretrain, p_actual,
+        accum_steps=accum_steps), mesh, donate)
 
 
 def make_local_pruner_step(mods, cfg, optimizer, axis_name, axis_size,
-                           pretrain, p_actual):
+                           pretrain, p_actual, accum_steps: int = 1):
     """Per-shard step body (pre-shard_map). Exposed so tests can run it under
     `jax.vmap(..., axis_name=DATA_AXIS)` — the single-device emulation of the
     mesh collectives — and assert shard_map ≡ vmap semantics."""
@@ -282,11 +287,49 @@ def make_local_pruner_step(mods, cfg, optimizer, axis_name, axis_size,
         if axis_name is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
 
-        def loss_fn(tr):
-            return _compute_losses(mods, cfg, tr, frozen, batch, key, shared_key,
+        def loss_fn(tr, mb, k, sk):
+            return _compute_losses(mods, cfg, tr, frozen, mb, k, sk,
                                    pretrain, axis_name, axis_size, p_actual)
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
+        if accum_steps > 1:
+            micro = {k2: v.reshape(accum_steps, v.shape[0] // accum_steps,
+                                   *v.shape[1:]) for k2, v in batch.items()}
+            keys = jax.random.split(key, accum_steps)
+            shared_keys = jax.random.split(shared_key, accum_steps)
+
+            def body(acc, xs):
+                mb, kk, sk = xs
+                (l, a), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    trainable, mb, kk, sk)
+                acc_l, acc_g, acc_m = acc
+                m = {k3: v for k3, v in a.items()
+                     if k3 not in ("q_state", "batch_resource_ratios",
+                                   "expert_indices", "arch_similarity")}
+                return ((acc_l + l, jax.tree.map(jnp.add, acc_g, g),
+                         jax.tree.map(jnp.add, acc_m, m)),
+                        {"q_state": a["q_state"],
+                         "batch_resource_ratios": a["batch_resource_ratios"],
+                         "expert_indices": a["expert_indices"]})
+
+            zero_m = {k3: jnp.zeros(()) for k3 in
+                      ("loss", "diffusion_loss", "distillation_loss",
+                       "block_loss", "contrastive_loss", "resource_loss",
+                       "resource_ratio")}
+            (loss, grads, msum), stacked = jax.lax.scan(
+                body, (jnp.zeros(()), jax.tree.map(jnp.zeros_like, trainable),
+                       zero_m), (micro, keys, shared_keys))
+            loss = loss / accum_steps
+            grads = jax.tree.map(lambda g: g / accum_steps, grads)
+            aux = {k3: v / accum_steps for k3, v in msum.items()}
+            # per-sample aux re-flattened to the full local batch; the
+            # quantizer snapshot is the LAST micro-batch's (the reference's
+            # embedding_gs buffer likewise holds the last step's realisation)
+            aux["q_state"] = jax.tree.map(lambda x: x[-1], stacked["q_state"])
+            aux["batch_resource_ratios"] = stacked["batch_resource_ratios"].reshape(-1)
+            aux["expert_indices"] = stacked["expert_indices"].reshape(-1)
+        else:
+            (loss, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(trainable, batch, key, shared_key)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             loss = jax.lax.pmean(loss, axis_name)

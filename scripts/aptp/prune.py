@@ -174,8 +174,12 @@ def main():
         train_batches = synth(max(loop_cfg.max_train_steps, 1))
         val_batches = lambda: synth(2)(0)
 
+    import functools
+    accum = int(cfg.training.get("gradient_accumulation_steps", 1))
+    make_step = (functools.partial(make_pruner_step, accum_steps=accum)
+                 if accum > 1 else make_pruner_step)
     loop = PrunerLoop(mods, pruner_cfg, loop_cfg, optimizer,
-                      make_pruner_step, make_validation_step,
+                      make_step, make_validation_step,
                       trainable, frozen, run_dir, mesh=mesh,
                       tracker=Tracker(run_dir,
                                       use_wandb=cfg.training.logging.get("report_to") == "wandb"),

@@ -145,3 +145,46 @@ def test_flash_backward_cross_attention():
     for g1, g2, name in zip(got, want, "qkvg"):
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                    atol=5e-4, rtol=1e-3, err_msg=name)
+
+
+def test_tpu_tile_legality_all_sd_shapes():
+    """Mosaic requires each block's last two dims to be (8,128)-divisible or
+    equal to the array dims. Interpret-mode tests can't catch violations (a
+    512px lowering break shipped twice this round) — this mirrors the
+    kernels' block/array choices for every SD shape and checks the rule."""
+    from diffusion_pruning_tpu.ops.flash_attention import _pick_block, _train_block
+
+    def legal(block, array):
+        for b_, a_, need in ((block[-2], array[-2], 8), (block[-1], array[-1], 128)):
+            if b_ % need != 0 and b_ != a_:
+                return False
+        return True
+
+    D = 64
+    shapes = [(s, s) for s in (64, 256, 1024, 4096)] + \
+             [(s, 77) for s in (64, 256, 1024, 4096)]
+    BH, NQ8 = 80, None
+    for s_q, s_kv in shapes:
+        blk_t = _train_block(512, s_q, s_kv)
+        n_q = -(-s_q // blk_t)
+        blk_i = _pick_block(512, s_q, s_kv, live_mats=2)
+        blk_kv = _pick_block(512, s_kv, s_q, live_mats=4)
+        n_kv = -(-s_kv // blk_kv)
+        cases = [
+            # forward (training): q/k/v/o blocks + revisited lse
+            ((1, blk_t, D), (BH, s_q, D)),
+            ((1, s_kv, D), (BH, s_kv, D)),
+            ((1, n_q, blk_t), (BH, n_q, blk_t)),
+            # forward (inference)
+            ((1, blk_i, D), (BH, s_q, D)),
+            # dq kernel: q/do/dq blocks, lse/delta revisited, dgate tile
+            ((1, blk_t, D), (BH, s_q, D)),
+            ((1, n_q, blk_t), (BH, n_q, blk_t)),
+            ((1, 8, 128), (BH, 8, 128)),
+            # dkv kernel: full q/do, kv blocks, row lse/delta
+            ((1, s_q, D), (BH, s_q, D)),
+            ((1, blk_kv, D), (BH, s_kv, D)),
+            ((1, 1, s_q), (BH, 1, s_q)),
+        ]
+        for block, array in cases:
+            assert legal(block, array), (s_q, s_kv, block, array)

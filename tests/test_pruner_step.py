@@ -135,3 +135,27 @@ def test_step_with_cached_latents(setup):
     _, _, _, metrics, _ = step(trainable, frozen, opt_state, batch,
                                jax.random.PRNGKey(5))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_pruner_gradient_accumulation(setup):
+    """accum_steps=2 scans two micro-batches: metrics are finite averages,
+    aux re-flattens to the full local batch, q_state is the last micro's,
+    and the trainables actually move."""
+    mods, frozen, trainable, spec = setup
+    cfg = PrunerConfig(lr_warmup_steps=0, scale_lr=False)
+    opt = make_optimizer(cfg, global_batch=8)
+    step = make_pruner_step(mods, cfg, opt, mesh=None, pretrain=False,
+                            accum_steps=2)
+    opt_state = opt.init(trainable)
+    batch = _batch(mods, 8)
+    new_tr, new_opt, q_state, metrics, aux = step(trainable, frozen, opt_state,
+                                                  batch, jax.random.PRNGKey(7))
+    for k in ("loss", "diffusion_loss", "contrastive_loss", "resource_ratio"):
+        assert np.isfinite(float(metrics[k])), k
+    assert aux["expert_indices"].shape == (8,)
+    assert aux["batch_resource_ratios"].shape == (8,)
+    assert q_state["embedding_gs"].shape == (4, spec.vq_dim)
+    delta = jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(lambda a, b: float(jnp.abs(a - b).sum()), new_tr, trainable))
+    assert delta > 0
