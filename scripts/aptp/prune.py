@@ -184,6 +184,11 @@ def main():
                       tracker=Tracker(run_dir,
                                       use_wandb=cfg.training.logging.get("report_to") == "wandb"),
                       seed=args.seed)
+    # the reference writes a unet/ subfolder in every pruning checkpoint
+    # (trainer.py:253-313) — the U-Net is frozen in stage 1, so this is the
+    # pretrained weights re-exported; downstream reference tooling expects it
+    if cfg.training.logging.get("export_unet", True):
+        loop.export_unet_ref = (ucfg, frozen["unet"])
 
     # periodic routed sample generation from fixed prompts
     # (trainer.py:996-1001 / generate_samples_from_prompts)
@@ -212,6 +217,18 @@ def main():
             os.makedirs(out, exist_ok=True)
             image_grid(np.asarray(imgs)).save(
                 os.path.join(out, f"samples_{lp.global_step}.png"))
+            # unconditional generation from EVERY codebook entry — the
+            # reference's log_quantizer_embedding_samples
+            # (trainer.py:1001,1308-1402): empty prompt, no CFG, one image
+            # per expert architecture from the embedding_gs snapshot
+            n_e = quantizer.n_e
+            ids_u = jnp.asarray(tok_clip([""] * n_e))
+            q_imgs = pipe.quantizer_samples(
+                ids_u, ids_u, jax.random.PRNGKey(lp.global_step),
+                expert_ids=list(range(n_e)), guidance_scale=1.0,
+                num_inference_steps=cfg.training.get("num_inference_steps", 50))
+            image_grid(np.asarray(q_imgs)).save(
+                os.path.join(out, f"quantizer_samples_{lp.global_step}.png"))
 
         loop.image_logger = image_logger
     loop.train(train_batches, val_batches, place_batch=lambda b: shard_batch(mesh, b))
