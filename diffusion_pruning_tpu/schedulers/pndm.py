@@ -3,13 +3,16 @@
 Replaces the diffusers `PNDMScheduler` the reference uses for FID image
 generation (scripts/metrics/generate_fid_images.py:104,126-139; 25 steps).
 The fourth-order linear multistep runs as a `lax.fori_loop` with a rolling
-(4, ...) ε-history buffer and a `lax.switch` over the warm-up order — fully
-static shapes, one compiled U-Net call per step.
+(4, ...) model-output history buffer (ε or v — the combination lives in the
+model's output space, with the v→ε conversion applied after combination, as
+in diffusers) and a `lax.switch` over the warm-up order — fully static
+shapes, one compiled U-Net call per step.
 
 Timestep plan (leading spacing, steps_offset=1, skip_prk_steps=True): the
-second timestep is visited twice; on that repeat the ε-history is averaged
-and the sampler restarts from the stashed first sample — matching the
-diffusers PLMS warm-up exactly.
+second timestep is visited twice; on that repeat the output-history is
+averaged and the sampler restarts from the stashed first sample — matching
+the diffusers PLMS warm-up exactly (trajectory parity pinned against a
+hand-ported golden in tests/test_sampler_parity.py).
 """
 from __future__ import annotations
 
@@ -50,14 +53,20 @@ class PNDMSampler:
         ac = sched.alphas_cumprod
         final_ac = ac[0]
 
-        def to_eps(out, x, t_b):
-            eps, _ = sched.to_epsilon_and_x0(out, x, t_b)
-            return eps
-
-        def prev_sample(x, t, t_prev, eps):
-            # PNDM transfer formula (Liu et al. 2022, eq. 11)
+        def prev_sample(x, t, t_prev, mo):
+            # PNDM transfer formula (Liu et al. 2022, eq. 11). The history
+            # combination (`mo`) is in MODEL-OUTPUT space; for v-prediction
+            # the v→ε conversion happens HERE — after the linear-multistep
+            # combination, with the (possibly stashed) sample and (possibly
+            # shifted) timestep — exactly as diffusers' PNDMScheduler
+            # `_get_prev_sample` does (parity pinned by
+            # tests/test_sampler_parity.py vs the hand-ported golden).
             a_t = ac[t]
             a_prev = jnp.where(t_prev >= 0, ac[jnp.maximum(t_prev, 0)], final_ac)
+            if sched.prediction_type == "v_prediction":
+                eps = jnp.sqrt(a_t) * mo + jnp.sqrt(1.0 - a_t) * x
+            else:
+                eps = mo
             x_coeff = jnp.sqrt(a_prev / a_t)
             denom = a_t * jnp.sqrt(1.0 - a_prev) + jnp.sqrt(a_t * a_prev * (1.0 - a_t))
             eps_coeff = (a_prev - a_t) / denom
@@ -67,11 +76,11 @@ class PNDMSampler:
             x, ets, n_ets, stash = carry
             t = ts[i]
             t_b = jnp.full((x.shape[0],), t, jnp.int32)
-            out = model_fn(x, t_b)
-            eps = to_eps(out, x, t_b).astype(jnp.float32)
+            eps = model_fn(x, t_b).astype(jnp.float32)  # raw ε or v output
             is_repeat = i == 1  # the duplicated second visit
 
-            # push eps into history unless this is the repeat step
+            # push the raw model output into history unless this is the
+            # repeat step
             ets_new = jnp.where(is_repeat, ets,
                                 jnp.concatenate([ets[1:], eps[None]], axis=0))
             n_new = jnp.where(is_repeat, n_ets, jnp.minimum(n_ets + 1, 4))
