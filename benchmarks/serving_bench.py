@@ -112,7 +112,8 @@ def main():
         results["routed_img_per_sec"] = round(N / dt, 3)
         log(f"routed: {results['routed_img_per_sec']} img/s")
 
-    if "experts" in MODES:
+    server = None
+    if ("experts" in MODES) or ("hybrid" in MODES):
         from diffusion_pruning_tpu.pipelines.expert_server import (
             ExpertServer, ServingQueue,
         )
@@ -120,6 +121,39 @@ def main():
         server = ExpertServer.from_codebook(pipe, pipe.unet_params, spec, ucfg,
                                             batch_size=BATCH,
                                             param_dtype=jnp.bfloat16)
+
+    if "hybrid" in MODES:
+        # hybrid KEEPS the dense gated U-Net resident: full tiers run
+        # materialised experts, sub-tier remainders pool into one gated
+        # per-prompt-arch batch
+        q = ServingQueue(server, num_inference_steps=STEPS, hybrid=True)
+        q.submit(ids, neg)
+        log("hybrid: compile + first flush")
+        t0 = time.perf_counter()
+        q.flush(jax.random.PRNGKey(30))
+        log(f"first flush (incl. compiles) {time.perf_counter() - t0:.1f}s")
+        q.submit(ids, neg)
+        t0 = time.perf_counter()
+        q.flush(jax.random.PRNGKey(31))
+        dt = time.perf_counter() - t0
+        results["hybrid_img_per_sec"] = round(N / dt, 3)
+        results["hybrid_slots_used"] = int(q.last_slots_used)
+        log(f"hybrid: {results['hybrid_img_per_sec']} img/s "
+            f"({q.last_slots_used} slots for {N})")
+        # async double-buffering: overlap host routing of flush i+1 with
+        # device trajectories of flush i
+        q.submit(ids, neg)
+        t0 = time.perf_counter()
+        f1 = q.flush_async(jax.random.PRNGKey(32))
+        q.submit(ids, neg)
+        f2 = q.flush_async(jax.random.PRNGKey(33))
+        f1.result()
+        f2.result()
+        dt = time.perf_counter() - t0
+        results["hybrid_async_img_per_sec"] = round(2 * N / dt, 3)
+        log(f"hybrid async 2-flush: {results['hybrid_async_img_per_sec']} img/s")
+
+    if "experts" in MODES:
         # the dense f32 copy is only needed for slicing; free ~3.5 GB HBM
         import dataclasses as _dc
         pipe_light = _dc.replace(pipe, unet_params=None)

@@ -93,6 +93,78 @@ def _attn_kernel(g_ref, q_ref, k_ref, v_ref, o_ref, lse_ref=None, *,
         lse_ref[0, pl.program_id(1)] = (m + jnp.log(denom)).reshape(-1)
 
 
+def _attn_kernel2(g_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                  gated: bool, d: int):
+    """Two heads packed on the lane dim: blocks are (blk, 2d) with 2d = 128,
+    so q/k/v/o tiles are DENSE — the unpacked d=64 layout pads every lane
+    64→128, doubling IO bytes on all four operands (VERDICT r2 #3a). The
+    score matmuls stay per-head via in-register lane slices; grid rows halve
+    (better pipelining), score-mat VMEM doubles (block sizing accounts)."""
+    i = pl.program_id(0)
+    q = q_ref[0].astype(jnp.float32)   # (blk, 2d)
+    k = k_ref[0].astype(jnp.float32)   # (s_kv, 2d)
+    v = v_ref[0].astype(jnp.float32)
+    outs = []
+    for hh in (0, 1):
+        sl = slice(hh * d, (hh + 1) * d)
+        s = jax.lax.dot_general(q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        if gated:
+            g = g_ref[i * 2 + hh].astype(jnp.float32)
+            s = s * (g * g)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(p, v[:, sl], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32) / denom
+        if gated:
+            o = o * g_ref[i * 2 + hh].astype(jnp.float32)
+        outs.append(o)
+    o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+
+
+def _flash_forward_packed2(q, k, v, gate, block_q, interpret):
+    """Inference forward with head PAIRS packed on the feature dim.
+    Requires h even and 2d == 128; no lse output (primal path only)."""
+    b, s_q, h, d = q.shape
+    s_kv = k.shape[1]
+    scale = 1.0 / (d ** 0.5)
+    gated = gate is not None
+    h2 = h // 2
+
+    # (B, S, H, D) -> (B·H/2, S, 2D): (h, d) are contiguous, so the pair
+    # concat is a free reshape; only the S transpose moves bytes (same as
+    # the unpacked layout, but into dense 128-lane tiles)
+    def pack(x):
+        return x.reshape(b, x.shape[1], h2, 2 * d).transpose(0, 2, 1, 3
+                                                             ).reshape(b * h2, x.shape[1], 2 * d)
+
+    qf, kf, vf = pack(q), pack(k), pack(v)
+    # two live score mats per step (one per head) at the same blk
+    blk = _pick_block(block_q, s_q, s_kv, live_mats=4)
+    n_q = pl.cdiv(s_q, blk)
+    gf = (gate.astype(jnp.float32).reshape(b * h) if gated
+          else jnp.ones((1,), jnp.float32))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b * h2, n_q),
+        in_specs=[
+            pl.BlockSpec((1, blk, 2 * d), lambda i, j, g: (i, j, 0)),
+            pl.BlockSpec((1, s_kv, 2 * d), lambda i, j, g: (i, 0, 0)),
+            pl.BlockSpec((1, s_kv, 2 * d), lambda i, j, g: (i, 0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((1, blk, 2 * d), lambda i, j, g: (i, j, 0))],
+    )
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel2, scale=scale, gated=gated, d=d),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((b * h2, s_q, 2 * d), q.dtype)],
+        interpret=interpret,
+    )(gf, qf, kf, vf)[0]
+    return (out.reshape(b, h2, s_q, 2 * d).transpose(0, 2, 1, 3)
+            .reshape(b, s_q, h, d)), None
+
+
 def _flash_forward(
     q: jax.Array,                     # (B, S_q, H, D)
     k: jax.Array,                     # (B, S_kv, H, D)
@@ -106,6 +178,8 @@ def _flash_forward(
     s_kv = k.shape[1]
     scale = 1.0 / (d ** 0.5)
     gated = gate is not None
+    if not with_lse and h % 2 == 0 and 2 * d == 128:
+        return _flash_forward_packed2(q, k, v, gate, block_q, interpret)
 
     # (B, S, H, D) -> (B*H, S, D)
     def bh(x):

@@ -161,6 +161,66 @@ class ExpertServer:
             used += tier
         return used
 
+    def _run_gated_leftovers(self, entries, input_ids, neg_input_ids, key,
+                             num_inference_steps, guidance_scale, out_images):
+        """One combined per-prompt-arch GATED batch for the fragmented
+        remainders of every expert group (hybrid dispatch). The gated U-Net
+        runs per-prompt architectures for free (PERFORMANCE.md: masking
+        fuses into conv/GEMM epilogues), so pooling sub-tier leftovers into
+        one large batch beats running each as a tiny expert batch that
+        underutilises the MXU."""
+        from diffusion_pruning_tpu.core.estimators import hard_concrete
+        rows = np.asarray([r for r, _ in entries])
+        experts = np.asarray([e for _, e in entries])
+        codes = np.asarray(hard_concrete(
+            jnp.asarray(self.base_pipeline.quantizer_state["embedding_gs"])))
+        used = 0
+        lo = 0
+        for tier, real in self.plan_batches(len(rows), self.batch_shapes):
+            chunk = rows[lo: lo + real]
+            echunk = experts[lo: lo + real]
+            lo += real
+            pad = np.concatenate([chunk, np.repeat(chunk[-1:], tier - real)])
+            epad = np.concatenate([echunk, np.repeat(echunk[-1:], tier - real)])
+            key, sub = jax.random.split(key)
+            imgs = self.base_pipeline.generate_samples(
+                input_ids[jnp.asarray(pad)], neg_input_ids[jnp.asarray(pad)],
+                sub, arch=jnp.asarray(codes[epad]),
+                num_inference_steps=num_inference_steps,
+                guidance_scale=guidance_scale)
+            for j, r in enumerate(chunk):
+                out_images[int(r)] = imgs[j]
+            used += tier
+        return used
+
+    def _dispatch_groups(self, groups, input_ids, neg_input_ids, key,
+                         num_inference_steps, guidance_scale, out_images,
+                         hybrid: bool):
+        """groups: {expert: rows}. hybrid=True sends only FULL largest-tier
+        batches through materialised experts; every remainder joins one
+        pooled gated batch (per-prompt arch)."""
+        slots = 0
+        leftovers: List[Tuple[int, int]] = []
+        for e, rows in groups.items():
+            if hybrid:
+                biggest = self.batch_size
+                n_full = (len(rows) // biggest) * biggest
+                full_rows, rest = rows[:n_full], rows[n_full:]
+                leftovers.extend((int(r), int(e)) for r in rest)
+            else:
+                full_rows = rows
+            if len(full_rows):
+                key, sub = jax.random.split(key)
+                slots += self._run_expert(
+                    e, full_rows, input_ids, neg_input_ids, sub,
+                    num_inference_steps, guidance_scale, out_images)
+        if leftovers:
+            key, sub = jax.random.split(key)
+            slots += self._run_gated_leftovers(
+                leftovers, input_ids, neg_input_ids, sub,
+                num_inference_steps, guidance_scale, out_images)
+        return slots
+
     def generate(
         self,
         input_ids: jax.Array,             # (N, 77)
@@ -169,22 +229,22 @@ class ExpertServer:
         hyper_net_input: Optional[jax.Array] = None,
         num_inference_steps: int = 25,
         guidance_scale: float = 7.5,
+        hybrid: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (images (N, H, W, 3), expert_indices (N,)) with each
-        prompt generated by its assigned materialised expert."""
+        prompt generated by its assigned materialised expert (hybrid=True:
+        full tiers by experts, pooled gated batch for the remainders)."""
         n = input_ids.shape[0]
         if neg_input_ids.shape[0] == 1:
             neg_input_ids = jnp.tile(neg_input_ids, (n, 1))
         indices = self.route(input_ids, hyper_net_input)
 
         out_images: Dict[int, np.ndarray] = {}
-        self.last_slots_used = 0   # observability: device batch slots spent
-        for e in np.unique(indices):
-            rows = np.nonzero(indices == e)[0]
-            key, sub = jax.random.split(key)
-            self.last_slots_used += self._run_expert(
-                e, rows, input_ids, neg_input_ids, sub,
-                num_inference_steps, guidance_scale, out_images)
+        groups = {int(e): np.nonzero(indices == e)[0]
+                  for e in np.unique(indices)}
+        self.last_slots_used = self._dispatch_groups(
+            groups, input_ids, neg_input_ids, key,
+            num_inference_steps, guidance_scale, out_images, hybrid)
         images = np.stack([np.asarray(out_images[i]) for i in range(n)])
         return images, indices
 
@@ -199,11 +259,18 @@ class ServingQueue:
     server: ExpertServer
     num_inference_steps: int = 25
     guidance_scale: float = 7.5
+    # hybrid dispatch: full largest-tier batches run materialised experts;
+    # all sub-tier remainders pool into ONE gated per-prompt-arch batch —
+    # the crossover fix for fragmented routed traffic (PERFORMANCE.md)
+    hybrid: bool = False
 
     def __post_init__(self):
+        import threading
         self._pending: List[Tuple[int, np.ndarray, np.ndarray, int]] = []
         self._results: Dict[int, np.ndarray] = {}
         self._next_id = 0
+        self._lock = threading.Lock()            # protects _pending/_results
+        self._dispatch_lock = threading.Lock()   # one flush on device at a time
 
     def submit(self, input_ids, neg_input_ids,
                hyper_net_input=None) -> List[int]:
@@ -215,41 +282,69 @@ class ServingQueue:
         ids = []
         ii = np.asarray(input_ids)
         nn_ = np.asarray(neg_input_ids)
-        for r in range(n):
-            rid = self._next_id
-            self._next_id += 1
-            self._pending.append((rid, ii[r], nn_[r], int(experts[r])))
-            ids.append(rid)
+        with self._lock:
+            for r in range(n):
+                rid = self._next_id
+                self._next_id += 1
+                self._pending.append((rid, ii[r], nn_[r], int(experts[r])))
+                ids.append(rid)
         return ids
 
     def pending_per_expert(self) -> Dict[int, int]:
+        with self._lock:
+            pend = list(self._pending)
         out: Dict[int, int] = {}
-        for _, _, _, e in self._pending:
+        for _, _, _, e in pend:
             out[e] = out.get(e, 0) + 1
         return out
+
+    def _flush_entries(self, pending, key) -> Dict[int, np.ndarray]:
+        if not pending:
+            self.last_slots_used = 0
+            return {}
+        ids = jnp.asarray(np.stack([x[1] for x in pending]))
+        negs = jnp.asarray(np.stack([x[2] for x in pending]))
+        experts = np.asarray([x[3] for x in pending])
+        groups = {int(e): np.nonzero(experts == e)[0]
+                  for e in np.unique(experts)}
+        out: Dict[int, np.ndarray] = {}
+        self.last_slots_used = self.server._dispatch_groups(
+            groups, ids, negs, key, self.num_inference_steps,
+            self.guidance_scale, out, self.hybrid)
+        # materialise once at the end: all batches are already queued
+        flush_results = {pending[j][0]: np.asarray(out[j])
+                         for j in range(len(pending))}
+        with self._lock:
+            self._results.update(flush_results)
+        return flush_results
 
     def flush(self, key) -> Dict[int, np.ndarray]:
         """Run everything pending; returns {request_id: image} for this
         flush. Batches are tier-planned per expert over the FULL pending set,
         so requests from different submit() calls share device batches."""
-        by_expert: Dict[int, List[Tuple[int, np.ndarray, np.ndarray]]] = {}
-        for rid, ids_row, neg_row, e in self._pending:
-            by_expert.setdefault(e, []).append((rid, ids_row, neg_row))
-        self._pending.clear()
-        flush_results: Dict[int, np.ndarray] = {}
-        self.last_slots_used = 0
-        for e, entries in by_expert.items():
-            ids = jnp.asarray(np.stack([x[1] for x in entries]))
-            negs = jnp.asarray(np.stack([x[2] for x in entries]))
-            rows = np.arange(len(entries))
-            out: Dict[int, np.ndarray] = {}
-            key, sub = jax.random.split(key)
-            self.last_slots_used += self.server._run_expert(
-                e, rows, ids, negs, sub,
-                self.num_inference_steps, self.guidance_scale, out)
-            for j, (rid, _, _) in enumerate(entries):
-                flush_results[rid] = out[j]
-        # materialise once at the end: all expert batches are already queued
-        flush_results = {rid: np.asarray(im) for rid, im in flush_results.items()}
-        self._results.update(flush_results)
-        return flush_results
+        with self._lock:
+            pending, self._pending = self._pending, []
+        with self._dispatch_lock:
+            return self._flush_entries(pending, key)
+
+    def flush_async(self, key):
+        """Run the pending set in a background thread; returns a
+        concurrent.futures.Future resolving to {request_id: image}. The
+        caller keeps submit()ing (routing/tokenising on the host) while the
+        previous flush's trajectories occupy the device — flushes themselves
+        serialise on _dispatch_lock."""
+        import threading
+        from concurrent.futures import Future
+        with self._lock:
+            pending, self._pending = self._pending, []
+        fut: Future = Future()
+
+        def work():
+            with self._dispatch_lock:
+                try:
+                    fut.set_result(self._flush_entries(pending, key))
+                except BaseException as e:  # surface in .result()
+                    fut.set_exception(e)
+
+        threading.Thread(target=work, daemon=True).start()
+        return fut

@@ -70,3 +70,37 @@ def test_serving_queue_continuous_batching():
                    for c in pend.values())
     assert q.last_slots_used == expected
     assert q.pending_per_expert() == {}
+
+
+def test_serving_queue_hybrid_and_async():
+    """Hybrid dispatch: only full largest-tier batches run materialised
+    experts; every remainder pools into ONE gated per-prompt-arch batch.
+    flush_async returns a Future with the same contract as flush."""
+    from test_pipeline import build_tiny_pipeline
+    p = build_tiny_pipeline()
+    cfg = p.unet.cfg
+    server = ExpertServer.from_codebook(p, p.unet_params, p.unet.spec, cfg,
+                                        batch_size=4)
+    q = ServingQueue(server, num_inference_steps=2, hybrid=True)
+
+    ids = jnp.asarray(jax.random.randint(jax.random.PRNGKey(5), (7, cfg.max_text_len),
+                                         0, 100))
+    neg = jnp.zeros((1, cfg.max_text_len), jnp.int32)
+    rids = q.submit(ids, neg)
+    pend = q.pending_per_expert()
+
+    fut = q.flush_async(jax.random.PRNGKey(6))
+    results = fut.result(timeout=600)
+    assert sorted(results) == sorted(rids)
+    vs = p.vae.cfg.spatial_scale
+    for img in results.values():
+        assert img.shape == (cfg.sample_size * vs, cfg.sample_size * vs, 3)
+        assert np.isfinite(img).all()
+    # hybrid slot accounting: per-expert full tiers + one pooled tier plan
+    # over all remainders
+    full = sum((c // 4) * 4 for c in pend.values())
+    leftovers = sum(c % 4 for c in pend.values())
+    expected = full + (sum(t for t, _ in ExpertServer.plan_batches(
+        leftovers, server.batch_shapes)) if leftovers else 0)
+    assert q.last_slots_used == expected
+    assert q.pending_per_expert() == {}

@@ -45,6 +45,41 @@ def test_flash_matches_sdpa_with_soft_gates():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
 
 
+def test_flash_unpacked_inference_odd_heads():
+    """h odd falls back to the unpacked per-head layout — keep it covered
+    now that even head counts route through the 2-head-packed kernel."""
+    key = jax.random.PRNGKey(7)
+    b, s, h, d = 2, 64, 3, 64
+    ks = jax.random.split(key, 4)
+    q = jax.random.normal(ks[0], (b, s, h, d))
+    k = jax.random.normal(ks[1], (b, s, h, d))
+    v = jax.random.normal(ks[2], (b, s, h, d))
+    gate = jax.random.uniform(ks[3], (b, h))
+    got = flash_attention(q, k, v, gate=gate, interpret=True)
+    want = _reference_sdpa(q, k, v, gate)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_packed_matches_unpacked_inference():
+    """The packed-pair kernel must agree with the unpacked kernel exactly
+    (same math, different tiling) — cross-attention shapes included."""
+    from diffusion_pruning_tpu.ops.flash_attention import (
+        _flash_forward, _flash_forward_packed2,
+    )
+    key = jax.random.PRNGKey(8)
+    for s_kv in (64, 77):
+        ks = jax.random.split(jax.random.fold_in(key, s_kv), 4)
+        b, s, h, d = 2, 64, 4, 64
+        q = jax.random.normal(ks[0], (b, s, h, d))
+        k = jax.random.normal(ks[1], (b, s_kv, h, d))
+        v = jax.random.normal(ks[2], (b, s_kv, h, d))
+        gate = jax.random.uniform(ks[3], (b, h))
+        packed, _ = _flash_forward_packed2(q, k, v, gate, 512, True)
+        h_odd_path = _reference_sdpa(q, k, v, gate)
+        np.testing.assert_allclose(np.asarray(packed), np.asarray(h_odd_path),
+                                   atol=2e-5, rtol=1e-4)
+
+
 def test_flash_hard_gate_zeroes_heads():
     key = jax.random.PRNGKey(2)
     b, s, h, d = 1, 64, 4, 64
@@ -175,8 +210,12 @@ def test_tpu_tile_legality_all_sd_shapes():
             ((1, blk_t, D), (BH, s_q, D)),
             ((1, s_kv, D), (BH, s_kv, D)),
             ((1, n_q, blk_t), (BH, n_q, blk_t)),
-            # forward (inference)
+            # forward (inference, unpacked — odd head counts)
             ((1, blk_i, D), (BH, s_q, D)),
+            # forward (inference, 2-head packed: dense 128-lane tiles)
+            ((1, _pick_block(512, s_q, s_kv, live_mats=4), 2 * D),
+             (BH // 2, s_q, 2 * D)),
+            ((1, s_kv, 2 * D), (BH // 2, s_kv, 2 * D)),
             # dq kernel: q/do/dq blocks, lse/delta revisited, dgate tile
             ((1, blk_t, D), (BH, s_q, D)),
             ((1, n_q, blk_t), (BH, n_q, blk_t)),
