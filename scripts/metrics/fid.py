@@ -2,11 +2,19 @@
 
 Equivalent of /root/reference/scripts/metrics/fid.py:10-31. Uses clean-fid
 when installed (same `legacy_pytorch` mode); otherwise falls back to the
-native Fréchet-distance implementation with a locally-provided InceptionV3
-TorchScript/weights file.
+native Fréchet-distance implementation with a locally-provided feature
+extractor.
 
   python scripts/metrics/fid.py GEN_DIR --ref_stats ref_stats.npz \
       [--inception /path/to/inception.pt]
+
+Extractor contract (--inception): a TorchScript module mapping NCHW float
+images to (N, D) features — produce one from a local torchvision install
+with `torch.jit.trace(torchvision.models.inception_v3(...), example)` and
+clean-fid reference stats stay comparable. Neither clean-fid nor InceptionV3
+weights ship in this environment (no egress), so CI exercises this path with
+a stub extractor (tests/test_metrics.py::test_fid_script_fallback_executes);
+real-FID runs require dropping the weights file in locally.
 """
 import argparse
 import os
