@@ -23,14 +23,25 @@ def random_params_like(shapes, seed: int = 0):
     """Materialise a parameter pytree ON DEVICE in ONE jitted program: no
     multi-GB host→device transfer and no per-leaf eager dispatch (both
     pathological over remote-device tunnels). Leaves are fan-in-scaled
-    gaussians (matrices/kernels) or zeros (biases/norm params)."""
-    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    gaussians (matrices/kernels), ONES for norm `scale`s, zeros for biases.
+
+    Norm scales must be 1, not 0: a zeroed GroupNorm/LayerNorm scale kills
+    every normalised path (the whole U-Net collapses to its skip
+    connections and outputs exactly zero — distillation/diffusion losses go
+    silently degenerate; caught in the round-3 convergence run)."""
+    leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+
+    def _leaf_name(path):
+        last = path[-1]
+        return str(getattr(last, "key", getattr(last, "name", last)))
 
     def build(key):
         out = []
-        for i, leaf in enumerate(leaves):
+        for i, (path, leaf) in enumerate(leaves_with_path):
             shp, dt = leaf.shape, leaf.dtype
-            if len(shp) <= 1:
+            if _leaf_name(path) == "scale":
+                out.append(jnp.ones(shp, dt))
+            elif len(shp) <= 1:
                 out.append(jnp.zeros(shp, dt))
             else:
                 sub = jax.random.fold_in(key, i)
