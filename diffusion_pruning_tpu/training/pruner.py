@@ -69,6 +69,16 @@ class PrunerConfig:
     noise_offset: float = 0.0
     input_perturbation: float = 0.0
     max_scheduler_steps: Optional[int] = None
+    # Synthetic-validation objective: use the DENSE teacher's prediction as
+    # the diffusion target instead of ε/v. With real SD weights the data is
+    # (approximately) realisable by the dense model — small residuals, so
+    # the resource signal is visible through Adam's noise floor. A frozen
+    # RANDOM U-Net can't denoise anything (stage 1 trains only the router),
+    # making the ε/v target pure gradient noise that drowns the resource
+    # loss; this flag restores the realisability property for synthetic
+    # convergence runs (scripts/other/convergence_run.py). Off for real
+    # training — reference semantics unchanged.
+    self_distill_target: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -200,7 +210,10 @@ def _compute_losses(
         {"params": frozen["unet"]}, noisy, timesteps, ehs, arch=arch_used,
         return_features=True)
 
-    target = sched.target(latents, noise, timesteps)
+    if cfg.self_distill_target:
+        target = teacher_pred
+    else:
+        target = sched.target(latents, noise, timesteps)
     w = snr_weights(sched.alphas_cumprod, timesteps, cfg.snr_gamma, sched.prediction_type)
     d_loss = diffusion_loss(student_pred, target, w)
     distill = jnp.mean((student_pred.astype(jnp.float32) - teacher_pred.astype(jnp.float32)) ** 2)

@@ -68,6 +68,11 @@ def parse():
                    help="fraction of gate units kept at full magnitude; the "
                         "rest are eps-damped (planted prunable capacity)")
     p.add_argument("--redundancy_eps", type=float, default=0.02)
+    p.add_argument("--real_target", action="store_true",
+                   help="use the raw eps/v diffusion target instead of the "
+                        "dense teacher's prediction (see PrunerConfig."
+                        "self_distill_target — with random frozen weights "
+                        "the raw target is unlearnable gradient noise)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tiny", action="store_true",
                    help="tiny U-Net topology (CPU-runnable smoke)")
@@ -230,7 +235,8 @@ def main():
     p_actual = mods.resource_model.actual_pruning_target(args.pruning_target)
     log(f"p_actual (prunable-space target for total {args.pruning_target}) = {p_actual:.4f}")
 
-    cfg = PrunerConfig(pruning_target=args.pruning_target)
+    cfg = PrunerConfig(pruning_target=args.pruning_target,
+                       self_distill_target=not args.real_target)
     optimizer = make_optimizer(cfg, global_batch=args.batch)
     loop_cfg = LoopConfig(
         max_train_steps=args.steps,
