@@ -170,6 +170,10 @@ class ExpertServer:
         one large batch beats running each as a tiny expert batch that
         underutilises the MXU."""
         from diffusion_pruning_tpu.core.estimators import hard_concrete
+        assert self.base_pipeline.unet_params is not None, (
+            "hybrid dispatch routes sub-tier remainders through the dense "
+            "gated U-Net — keep its params resident (don't drop them after "
+            "materialising experts)")
         rows = np.asarray([r for r, _ in entries])
         experts = np.asarray([e for _, e in entries])
         codes = np.asarray(hard_concrete(

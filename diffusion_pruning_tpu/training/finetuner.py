@@ -51,6 +51,15 @@ class FineTuneConfig:
     # bf16 first moment (optax mu_dtype): frees ~1.7 GB for the SD-2.1 U-Net
     # — with remat this fits the reference per-device batch 128 on one v5e
     adam_mu_bf16: bool = False
+    # Use the dense teacher's prediction as the diffusion target instead of
+    # the schedule's eps/v target. Same rationale as PrunerConfig.
+    # self_distill_target: with frozen RANDOM teacher weights the true eps/v
+    # target is unlearnable gradient noise whose weight-1.0 pull overwhelms
+    # the 0.2-weighted distillation terms and drags the student AWAY from
+    # the teacher (observed: distill loss RISES during synthetic-convergence
+    # fine-tuning). Off for real training — reference loss semantics
+    # (trainer.py:1683-1765) unchanged.
+    self_distill_target: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -116,7 +125,10 @@ def _losses(mods: FineTunerModules, cfg: FineTuneConfig,
     student_pred, student_feats = mods.student.apply(
         {"params": student_params}, noisy, timesteps, ehs, return_features=True)
 
-    target = sched.target(latents, noise, timesteps)
+    if cfg.self_distill_target:
+        target = teacher_pred
+    else:
+        target = sched.target(latents, noise, timesteps)
     w = snr_weights(sched.alphas_cumprod, timesteps, cfg.snr_gamma, sched.prediction_type)
     d_loss = diffusion_loss(student_pred, target, w)
     distill = jnp.mean((student_pred.astype(jnp.float32)

@@ -73,6 +73,12 @@ def parse():
                         "dense teacher's prediction (see PrunerConfig."
                         "self_distill_target — with random frozen weights "
                         "the raw target is unlearnable gradient noise)")
+    p.add_argument("--stage2_only", action="store_true",
+                   help="skip stage 1: restore hypernet/quantizer from the "
+                        "latest checkpoint in --run_dir (frozen weights and "
+                        "the synthetic pool regenerate deterministically from "
+                        "--seed), recompute C1-C4 from the existing "
+                        "metrics.jsonl, and re-run expert fine-tuning only")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tiny", action="store_true",
                    help="tiny U-Net topology (CPU-runnable smoke)")
@@ -245,6 +251,7 @@ def main():
         image_logging_steps=max(args.steps // 5, 1),
         checkpoints_total_limit=1,
         log_every=10,
+        resume_from="latest" if args.stage2_only else None,
     )
     loop = PrunerLoop(mods, cfg, loop_cfg, optimizer,
                       make_pruner_step, make_validation_step,
@@ -280,11 +287,18 @@ def main():
                 "mpnet_embeddings": pool["mpnet"][idx],
             }
 
-    t0 = time.perf_counter()
-    loop.train(train_batches, val_batches)
-    wall_s1 = time.perf_counter() - t0
-    log(f"stage-1 {args.steps} steps in {wall_s1 / 60:.1f} min "
-        f"({args.steps * args.batch / wall_s1:.1f} smp/s)")
+    if args.stage2_only:
+        loop.maybe_resume()
+        log(f"stage2_only: restored checkpoint at step {loop.global_step}")
+        prev = os.path.join(args.run_dir, "CONVERGENCE_SUMMARY.json")
+        wall_s1 = (json.load(open(prev)).get("wall_clock_s", -1.0)
+                   if os.path.exists(prev) else -1.0)
+    else:
+        t0 = time.perf_counter()
+        loop.train(train_batches, val_batches)
+        wall_s1 = time.perf_counter() - t0
+        log(f"stage-1 {args.steps} steps in {wall_s1 / 60:.1f} min "
+            f"({args.steps * args.batch / wall_s1:.1f} smp/s)")
 
     # ----------------------- analysis: C1-C4 -----------------------
     rows = [json.loads(l) for l in open(os.path.join(args.run_dir, "metrics.jsonl"))]
@@ -293,7 +307,8 @@ def main():
     tail_lo = max(P, S - max(S // 10, 50))
     summary = {"steps": S, "pretrain_steps": P, "p_actual": p_actual,
                "wall_clock_s": round(wall_s1, 1),
-               "samples_per_sec": round(S * args.batch / wall_s1, 1)}
+               "samples_per_sec": (round(S * args.batch / wall_s1, 1)
+                                   if wall_s1 > 0 else None)}
     checks = {}
 
     ratio_final = window_mean(rows, "resource_ratio", tail_lo, S + 1)
@@ -367,7 +382,8 @@ def main():
                                    schedule=mods.schedule)
         ft_frozen = {"teacher": frozen["unet"], "vae": {}, "text": frozen["text"]}
         ft_cfg = FineTuneConfig(lr_warmup_steps=min(100, args.ft_steps // 3),
-                                unet_lr=1e-5)
+                                unet_lr=1e-5,
+                                self_distill_target=not args.real_target)
         ft_opt = make_finetune_optimizer(ft_cfg, global_batch=args.ft_batch)
         ft_step = make_finetune_step(ft_mods, ft_cfg, ft_opt, mesh=None, donate=True)
         opt_state = ft_opt.init(student_params)
