@@ -178,8 +178,21 @@ def _flash_forward(
     s_kv = k.shape[1]
     scale = 1.0 / (d ** 0.5)
     gated = gate is not None
-    if not with_lse and h % 2 == 0 and 2 * d == 128:
-        return _flash_forward_packed2(q, k, v, gate, block_q, interpret)
+    if not with_lse and h >= 2 and 2 * d == 128:
+        if h % 2 == 0:
+            return _flash_forward_packed2(q, k, v, gate, block_q, interpret)
+        # odd head count (SD-2.1's 320-ch blocks have h=5 at the LONGEST
+        # sequence): pack the even pairs, run the last head unpacked, concat.
+        # Strictly better than zero-padding a 6th head (+20% attention FLOPs
+        # there) — both calls live inside the same jit, no extra dispatch.
+        even, _ = _flash_forward_packed2(
+            q[:, :, : h - 1], k[:, :, : h - 1], v[:, :, : h - 1],
+            None if gate is None else gate[:, : h - 1], block_q, interpret)
+        last, _ = _flash_forward(
+            q[:, :, h - 1:], k[:, :, h - 1:], v[:, :, h - 1:],
+            None if gate is None else gate[:, h - 1:], block_q, interpret,
+            with_lse=False)
+        return jnp.concatenate([even, last], axis=2), None
 
     # (B, S, H, D) -> (B*H, S, D)
     def bh(x):

@@ -46,8 +46,9 @@ def test_flash_matches_sdpa_with_soft_gates():
 
 
 def test_flash_unpacked_inference_odd_heads():
-    """h odd falls back to the unpacked per-head layout — keep it covered
-    now that even head counts route through the 2-head-packed kernel."""
+    """h odd packs the even pairs and runs the final head unpacked (SD-2.1's
+    320-ch blocks have h=5 at the longest sequence) — this pins the
+    pack-evens + concat split against plain SDPA."""
     key = jax.random.PRNGKey(7)
     b, s, h, d = 2, 64, 3, 64
     ks = jax.random.split(key, 4)
