@@ -47,7 +47,10 @@ def _measured_baseline():
     except Exception:
         return None
 
-BATCH = int(os.environ.get("DPT_BENCH_BATCH", "4"))
+# B=8 is the measured throughput peak for this workload on one v5e chip
+# (same-day ladder, bf16 residents: B=4 13.32, B=8 14.02, B=16 13.95 img/s).
+# CFG doubles the model batch, so B=8 runs the U-Net at an effective 16.
+BATCH = int(os.environ.get("DPT_BENCH_BATCH", "8"))
 STEPS = 25
 RES = int(os.environ.get("DPT_BENCH_RES", "256"))
 
@@ -68,8 +71,13 @@ def main():
     model = GatedUNet(cfg, dtype=jnp.bfloat16)
     _log("initialising SD-2.1 U-Net params (host-side, no init compile)")
     from diffusion_pruning_tpu.utils.init_utils import random_params_like, shape_tree
-    params = random_params_like(shape_tree(
-        lambda: model.init_params(jax.random.PRNGKey(0), batch=1)))
+    # bf16 resident weights (serving precision, same as PruningPipeline /
+    # ExpertServer). f32 residents cost a full-tree cast per generate() call
+    # (XLA hoists it out of the denoise loop but not out of the jit — 5.5 ms
+    # and 2× transient HBM per call, measured via benchmarks/profile_gen.py).
+    st = shape_tree(lambda: model.init_params(jax.random.PRNGKey(0), batch=1))
+    st = jax.tree.map(lambda s: jax.ShapeDtypeStruct(s.shape, jnp.bfloat16), st)
+    params = random_params_like(st)
     jax.block_until_ready(params)
     _log("params ready")
 
