@@ -93,6 +93,25 @@ class ExpertServer:
         _, indices = self.base_pipeline.route(prompt_embeds, hyper_net_input)
         return np.asarray(indices)
 
+    def encode_route(self, input_ids: jax.Array, neg_input_ids: jax.Array,
+                     hyper_net_input: Optional[jax.Array] = None):
+        """Encode prompts ONCE and route. Returns (prompt_embeds (N,77,D),
+        neg_embeds (N,77,D), expert indices np (N,)).
+
+        Text encoding used to happen per expert-tier batch (each tier's
+        generate_samples re-ran CLIP on its chunk) — at K=8 experts that is
+        ~2× the encode FLOPs of the routed path plus 16 extra dispatches per
+        flush, each costing a host→tunnel round trip. Encoding the pooled
+        pending set once and gathering embedding rows per tier removes both."""
+        pe = self.base_pipeline.encode_prompt(input_ids)
+        if neg_input_ids.shape[0] == 1:
+            ne = self.base_pipeline.encode_prompt(neg_input_ids)
+            ne = jnp.tile(ne, (input_ids.shape[0], 1, 1))
+        else:
+            ne = self.base_pipeline.encode_prompt(neg_input_ids)
+        _, indices = self.base_pipeline.route(pe, hyper_net_input)
+        return pe, ne, np.asarray(indices)
+
     @property
     def batch_shapes(self) -> Tuple[int, ...]:
         """Power-of-two tier sizes up to batch_size (ascending)."""
@@ -136,10 +155,15 @@ class ExpertServer:
         pipe._fn_cache = base._fn_cache
         return pipe
 
-    def _run_expert(self, e, rows, input_ids, neg_input_ids, key,
-                    num_inference_steps, guidance_scale, out_images):
+    def _run_expert(self, e, rows, pe, ne, keys, num_inference_steps,
+                    guidance_scale, out_images):
         """Generate `rows` through expert e using tier-planned batches.
-        Returns (device slots used, real images produced)."""
+        keys: iterator of pre-split PRNG keys (pre-splitting once avoids a
+        tiny device dispatch per tier). Images stay ON DEVICE: out_images[r]
+        = (tier_array, row) — callers fetch each tier array once at the end,
+        so trajectories pipeline instead of idling a tunnel round trip per
+        batch (and per image: a per-row device slice + fetch costs two
+        dispatches × ~30 ms each over this tunnel)."""
         expert_pipe = self._expert_pipe(int(e))
         used = 0
         lo = 0
@@ -147,21 +171,17 @@ class ExpertServer:
             chunk = rows[lo: lo + real]
             lo += real
             padded = np.concatenate([chunk, np.repeat(chunk[-1:], tier - real)])
-            key, sub = jax.random.split(key)
-            # keep results on device — callers materialise at the end, so
-            # dispatches pipeline instead of idling one round trip per batch
-            imgs = expert_pipe.generate_samples(
-                input_ids[jnp.asarray(padded)],
-                neg_input_ids[jnp.asarray(padded)],
-                sub, arch=None,
-                num_inference_steps=num_inference_steps,
-                guidance_scale=guidance_scale)
+            sel = jnp.asarray(padded)
+            latents = expert_pipe.denoise(
+                next(keys), pe[sel], ne[sel], None,
+                num_inference_steps, guidance_scale)
+            imgs = expert_pipe.decode(latents)
             for j, r in enumerate(chunk):
-                out_images[int(r)] = imgs[j]
+                out_images[int(r)] = (imgs, j)
             used += tier
         return used
 
-    def _run_gated_leftovers(self, entries, input_ids, neg_input_ids, key,
+    def _run_gated_leftovers(self, entries, pe, ne, keys,
                              num_inference_steps, guidance_scale, out_images):
         """One combined per-prompt-arch GATED batch for the fragmented
         remainders of every expert group (hybrid dispatch). The gated U-Net
@@ -186,23 +206,24 @@ class ExpertServer:
             lo += real
             pad = np.concatenate([chunk, np.repeat(chunk[-1:], tier - real)])
             epad = np.concatenate([echunk, np.repeat(echunk[-1:], tier - real)])
-            key, sub = jax.random.split(key)
-            imgs = self.base_pipeline.generate_samples(
-                input_ids[jnp.asarray(pad)], neg_input_ids[jnp.asarray(pad)],
-                sub, arch=jnp.asarray(codes[epad]),
-                num_inference_steps=num_inference_steps,
-                guidance_scale=guidance_scale)
+            sel = jnp.asarray(pad)
+            latents = self.base_pipeline.denoise(
+                next(keys), pe[sel], ne[sel], jnp.asarray(codes[epad]),
+                num_inference_steps, guidance_scale)
+            imgs = self.base_pipeline.decode(latents)
             for j, r in enumerate(chunk):
-                out_images[int(r)] = imgs[j]
+                out_images[int(r)] = (imgs, j)
             used += tier
         return used
 
-    def _dispatch_groups(self, groups, input_ids, neg_input_ids, key,
+    def _dispatch_groups(self, groups, pe, ne, key,
                          num_inference_steps, guidance_scale, out_images,
                          hybrid: bool):
         """groups: {expert: rows}. hybrid=True sends only FULL largest-tier
         batches through materialised experts; every remainder joins one
         pooled gated batch (per-prompt arch)."""
+        n = sum(len(rows) for rows in groups.values())
+        keys = iter(jax.random.split(key, n + 1))  # ≥ 1 key per tier
         slots = 0
         leftovers: List[Tuple[int, int]] = []
         for e, rows in groups.items():
@@ -214,16 +235,26 @@ class ExpertServer:
             else:
                 full_rows = rows
             if len(full_rows):
-                key, sub = jax.random.split(key)
                 slots += self._run_expert(
-                    e, full_rows, input_ids, neg_input_ids, sub,
+                    e, full_rows, pe, ne, keys,
                     num_inference_steps, guidance_scale, out_images)
         if leftovers:
-            key, sub = jax.random.split(key)
             slots += self._run_gated_leftovers(
-                leftovers, input_ids, neg_input_ids, sub,
+                leftovers, pe, ne, keys,
                 num_inference_steps, guidance_scale, out_images)
         return slots
+
+    @staticmethod
+    def _materialise(out_images) -> Dict[int, np.ndarray]:
+        """Fetch each tier's device array ONCE, then index rows on the host."""
+        fetched: Dict[int, np.ndarray] = {}
+        res: Dict[int, np.ndarray] = {}
+        for r, (arr, j) in out_images.items():
+            kid = id(arr)
+            if kid not in fetched:
+                fetched[kid] = np.asarray(arr)
+            res[r] = fetched[kid][j]
+        return res
 
     def generate(
         self,
@@ -239,17 +270,17 @@ class ExpertServer:
         prompt generated by its assigned materialised expert (hybrid=True:
         full tiers by experts, pooled gated batch for the remainders)."""
         n = input_ids.shape[0]
-        if neg_input_ids.shape[0] == 1:
-            neg_input_ids = jnp.tile(neg_input_ids, (n, 1))
-        indices = self.route(input_ids, hyper_net_input)
+        pe, ne, indices = self.encode_route(input_ids, neg_input_ids,
+                                            hyper_net_input)
 
-        out_images: Dict[int, np.ndarray] = {}
+        out_images: Dict[int, Tuple[jax.Array, int]] = {}
         groups = {int(e): np.nonzero(indices == e)[0]
                   for e in np.unique(indices)}
         self.last_slots_used = self._dispatch_groups(
-            groups, input_ids, neg_input_ids, key,
+            groups, pe, ne, key,
             num_inference_steps, guidance_scale, out_images, hybrid)
-        images = np.stack([np.asarray(out_images[i]) for i in range(n)])
+        res = self._materialise(out_images)
+        images = np.stack([res[i] for i in range(n)])
         return images, indices
 
 
@@ -270,27 +301,33 @@ class ServingQueue:
 
     def __post_init__(self):
         import threading
-        self._pending: List[Tuple[int, np.ndarray, np.ndarray, int]] = []
+        # pending entry: (request id, submit batch index, row in batch, expert)
+        self._pending: List[Tuple[int, int, int, int]] = []
+        # per-submit (prompt_embeds, neg_embeds) kept ON DEVICE until flushed:
+        # prompts are encoded exactly once, at submit (routing needs the
+        # embeddings anyway); flush gathers rows straight out of these
+        self._embeds: Dict[int, Tuple[jax.Array, jax.Array]] = {}
         self._results: Dict[int, np.ndarray] = {}
         self._next_id = 0
+        self._next_batch = 0
         self._lock = threading.Lock()            # protects _pending/_results
         self._dispatch_lock = threading.Lock()   # one flush on device at a time
 
     def submit(self, input_ids, neg_input_ids,
                hyper_net_input=None) -> List[int]:
-        """Route and enqueue prompts; returns request ids."""
+        """Encode + route and enqueue prompts; returns request ids."""
         n = input_ids.shape[0]
-        if neg_input_ids.shape[0] == 1:
-            neg_input_ids = jnp.tile(neg_input_ids, (n, 1))
-        experts = self.server.route(input_ids, hyper_net_input)
+        pe, ne, experts = self.server.encode_route(input_ids, neg_input_ids,
+                                                   hyper_net_input)
         ids = []
-        ii = np.asarray(input_ids)
-        nn_ = np.asarray(neg_input_ids)
         with self._lock:
+            bi = self._next_batch
+            self._next_batch += 1
+            self._embeds[bi] = (pe, ne)
             for r in range(n):
                 rid = self._next_id
                 self._next_id += 1
-                self._pending.append((rid, ii[r], nn_[r], int(experts[r])))
+                self._pending.append((rid, bi, r, int(experts[r])))
                 ids.append(rid)
         return ids
 
@@ -302,34 +339,51 @@ class ServingQueue:
             out[e] = out.get(e, 0) + 1
         return out
 
-    def _flush_entries(self, pending, key) -> Dict[int, np.ndarray]:
+    def _flush_entries(self, pending, embeds, key) -> Dict[int, np.ndarray]:
         if not pending:
             self.last_slots_used = 0
             return {}
-        ids = jnp.asarray(np.stack([x[1] for x in pending]))
-        negs = jnp.asarray(np.stack([x[2] for x in pending]))
+        # pool the flushed submits' embeddings into one (N, 77, D) pair —
+        # one concatenate dispatch; per-tier gathers index into it
+        batches = sorted({bi for _, bi, _, _ in pending})
+        offset = {}
+        off = 0
+        for bi in batches:
+            offset[bi] = off
+            off += embeds[bi][0].shape[0]
+        if len(batches) == 1:
+            pe, ne = embeds[batches[0]]
+        else:
+            pe = jnp.concatenate([embeds[bi][0] for bi in batches])
+            ne = jnp.concatenate([embeds[bi][1] for bi in batches])
+        rows = np.asarray([offset[bi] + r for _, bi, r, _ in pending])
         experts = np.asarray([x[3] for x in pending])
-        groups = {int(e): np.nonzero(experts == e)[0]
-                  for e in np.unique(experts)}
-        out: Dict[int, np.ndarray] = {}
+        groups = {int(e): rows[experts == e] for e in np.unique(experts)}
+        out: Dict[int, Tuple[jax.Array, int]] = {}
         self.last_slots_used = self.server._dispatch_groups(
-            groups, ids, negs, key, self.num_inference_steps,
+            groups, pe, ne, key, self.num_inference_steps,
             self.guidance_scale, out, self.hybrid)
-        # materialise once at the end: all batches are already queued
-        flush_results = {pending[j][0]: np.asarray(out[j])
+        res = self.server._materialise(out)
+        flush_results = {pending[j][0]: res[int(rows[j])]
                          for j in range(len(pending))}
         with self._lock:
             self._results.update(flush_results)
         return flush_results
 
+    def _take_pending(self):
+        with self._lock:
+            pending, self._pending = self._pending, []
+            embeds = {bi: self._embeds.pop(bi)
+                      for _, bi, _, _ in pending if bi in self._embeds}
+        return pending, embeds
+
     def flush(self, key) -> Dict[int, np.ndarray]:
         """Run everything pending; returns {request_id: image} for this
         flush. Batches are tier-planned per expert over the FULL pending set,
         so requests from different submit() calls share device batches."""
-        with self._lock:
-            pending, self._pending = self._pending, []
+        pending, embeds = self._take_pending()
         with self._dispatch_lock:
-            return self._flush_entries(pending, key)
+            return self._flush_entries(pending, embeds, key)
 
     def flush_async(self, key):
         """Run the pending set in a background thread; returns a
@@ -339,14 +393,13 @@ class ServingQueue:
         serialise on _dispatch_lock."""
         import threading
         from concurrent.futures import Future
-        with self._lock:
-            pending, self._pending = self._pending, []
+        pending, embeds = self._take_pending()
         fut: Future = Future()
 
         def work():
             with self._dispatch_lock:
                 try:
-                    fut.set_result(self._flush_entries(pending, key))
+                    fut.set_result(self._flush_entries(pending, embeds, key))
                 except BaseException as e:  # surface in .result()
                     fut.set_exception(e)
 
