@@ -29,6 +29,17 @@ RES = int(os.environ.get("DPT_RES", "256"))
 BATCH = int(os.environ.get("DPT_BATCH", "4"))
 N = int(os.environ.get("DPT_N", "16"))
 MODES = os.environ.get("DPT_MODE", "routed,experts").split(",")
+# codebook size: K resident bf16 experts ≈ K × 1.2 GB HBM. K=8 fits at
+# 256px; at 512px one 16 GB chip fits K=4 (K=8 needs the dp×tp sharded
+# server across chips — parallel/tp.shard_pipeline)
+NE = int(os.environ.get("DPT_NE", "8"))
+# expert operating point: fraction of width gates kept per codebook entry.
+# A fresh random quantizer snapshots a ~dense codebook (MACs ratios ≈ 1.0 —
+# the convergence harness's "codebook parks dense" effect), which would
+# benchmark dense replicas instead of pruned experts; APTP's SD-2.1 design
+# point is ~0.6 MACs (configs/pruning/sd-2-1_coco2014.yaml), and the
+# convergence run's materialised experts landed at 0.61/0.75.
+KEEP = float(os.environ.get("DPT_KEEP", "0.6"))
 STEPS = 25
 
 
@@ -57,7 +68,7 @@ def build_pipeline():
     vae = AutoencoderKL(vcfg, dtype=jnp.bfloat16)
     hyper = HyperStructure(spec, input_dim=tcfg.hidden_size)
     quant = StructureQuantizer(
-        spec, n_e=8, base=3.0,
+        spec, n_e=NE, base=3.0,
         depth_order=(-1, -2, 0, 1, -3, -4, 2, 3, -5, -6, 4, 5, -7, 6))
 
     rng = jax.random.PRNGKey(0)
@@ -75,6 +86,18 @@ def build_pipeline():
     hyper_params = hyper.init(rng, jnp.zeros((1, tcfg.hidden_size)))["params"]
     q_params = quant.init_params(rng)
     q_state = quant.init_state(q_params)
+    if KEEP < 1.0:
+        # seed the codebook at the pruning operating point: Bernoulli(KEEP)
+        # width gates with ≥1 kept per gate site, depth fully kept
+        rs = np.random.RandomState(7)
+        gs = np.ones((NE, spec.vq_dim), np.float32)
+        for sb in spec.subblocks:
+            for site in sb.sites:
+                m = (rs.rand(NE, site.width) < KEEP).astype(np.float32)
+                m[m.sum(axis=1) == 0, 0] = 1.0
+                gs[:, site.start: site.start + site.width] = m
+        q_state = {"embedding_gs": jnp.asarray(gs)}
+        log(f"codebook seeded at keep={KEEP}")
     jax.block_until_ready(unet_params)
     log("params ready")
     return PruningPipeline(

@@ -22,6 +22,14 @@ backward kernels — partials accumulate across grid steps in a revisited
 VMEM output block — so no XLA pass touches attention-sized tensors after
 the kernels.
 
+Head-pair packing (round 3): d=64 operand tiles waste half of every 128-lane
+vector register and HBM tile. With h ≥ 2, pairs of heads pack on the feature
+dim — (B·H/2, S, 128) dense tiles, per-head math via in-register lane
+slices — for BOTH inference (VERDICT r2 #3a) and training: the packed
+forward emits per-head lse as (B·H/2, 2, n_q, blk) and the packed backward
+kernels mirror the unpacked pair. Odd head counts (SD-2.1's h=5 at the
+longest sequence) pack the even pairs and run the last head unpacked.
+
 Shapes are SD-sized (S_q ≤ 4096, head_dim 64, S_kv = S_q or 77): k/v for one
 (batch, head) fit VMEM, so each kernel is a single-pass softmax over the full
 kv extent with a grid over (batch·heads, blocks). f32 accumulation on the
@@ -60,6 +68,28 @@ def _train_block(block_q: int, s_q: int, s_kv: int) -> int:
     return blk
 
 
+def _train_block2(block_q: int, s_q: int, s_kv: int) -> int:
+    """Shared q-block for the PACKED training forward + dq backward. The
+    packed kernels process the two heads SEQUENTIALLY, so at most ~5 score-
+    sized mats are live at once (not 8) — live_mats=5 keeps blocks big."""
+    blk = _pick_block(block_q, s_q, s_kv, live_mats=5)
+    assert s_q % blk == 0, (s_q, blk)
+    return blk
+
+
+def _kv_block(block_q: int, s_kv: int, s_q: int, live_mats: int) -> int:
+    """kv-block for the dkv kernels. MUST divide s_kv: a partial final block
+    pads k/v with garbage rows whose products leak into the in-kernel dgate
+    sums (dk/dv stores past the array edge are dropped, the Σ dk'∘k + dv'∘v
+    reductions are not). Real SD kv extents are powers of two or 77; when the
+    VMEM-sized pick doesn't divide (77 with a small block_q), fall back to
+    the full extent — worst case (77, 4096) f32 mats ×5 ≈ 6.3 MB, in budget."""
+    blk = _pick_block(block_q, s_kv, s_q, live_mats)
+    if s_kv % blk:
+        return s_kv
+    return blk
+
+
 def _attn_kernel(g_ref, q_ref, k_ref, v_ref, o_ref, lse_ref=None, *,
                  scale: float, gated: bool):
     # g: scalar-prefetch (B·H,) in SMEM; q: (1, blk_q, d); k/v: (1, s_kv, d)
@@ -93,13 +123,14 @@ def _attn_kernel(g_ref, q_ref, k_ref, v_ref, o_ref, lse_ref=None, *,
         lse_ref[0, pl.program_id(1)] = (m + jnp.log(denom)).reshape(-1)
 
 
-def _attn_kernel2(g_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
-                  gated: bool, d: int):
+def _attn_kernel2(g_ref, q_ref, k_ref, v_ref, o_ref, lse_ref=None, *,
+                  scale: float, gated: bool, d: int):
     """Two heads packed on the lane dim: blocks are (blk, 2d) with 2d = 128,
     so q/k/v/o tiles are DENSE — the unpacked d=64 layout pads every lane
     64→128, doubling IO bytes on all four operands (VERDICT r2 #3a). The
     score matmuls stay per-head via in-register lane slices; grid rows halve
-    (better pipelining), score-mat VMEM doubles (block sizing accounts)."""
+    (better pipelining), score-mat VMEM doubles (block sizing accounts).
+    lse (training): (1, 2, n_q, blk) — one q-block-granular row per head."""
     i = pl.program_id(0)
     q = q_ref[0].astype(jnp.float32)   # (blk, 2d)
     k = k_ref[0].astype(jnp.float32)   # (s_kv, 2d)
@@ -120,12 +151,16 @@ def _attn_kernel2(g_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
         if gated:
             o = o * g_ref[i * 2 + hh].astype(jnp.float32)
         outs.append(o)
+        if lse_ref is not None:
+            lse_ref[0, hh, pl.program_id(1)] = (m + jnp.log(denom)).reshape(-1)
     o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
 
 
-def _flash_forward_packed2(q, k, v, gate, block_q, interpret):
-    """Inference forward with head PAIRS packed on the feature dim.
-    Requires h even and 2d == 128; no lse output (primal path only)."""
+def _flash_forward_packed2(q, k, v, gate, block_q, interpret,
+                           with_lse: bool = False):
+    """Forward with head PAIRS packed on the feature dim. Requires h even
+    and 2d == 128. with_lse (training): also emits the per-head masked-score
+    logsumexp as (B·H/2, 2, n_q, blk) for the packed backward."""
     b, s_q, h, d = q.shape
     s_kv = k.shape[1]
     scale = 1.0 / (d ** 0.5)
@@ -140,11 +175,22 @@ def _flash_forward_packed2(q, k, v, gate, block_q, interpret):
                                                              ).reshape(b * h2, x.shape[1], 2 * d)
 
     qf, kf, vf = pack(q), pack(k), pack(v)
-    # two live score mats per step (one per head) at the same blk
-    blk = _pick_block(block_q, s_q, s_kv, live_mats=4)
+    # two live score mats per step (one per head) at the same blk; training
+    # shares the packed dq backward's block (lse is q-block-granular)
+    blk = (_train_block2(block_q, s_q, s_kv) if with_lse
+           else _pick_block(block_q, s_q, s_kv, live_mats=4))
     n_q = pl.cdiv(s_q, blk)
     gf = (gate.astype(jnp.float32).reshape(b * h) if gated
           else jnp.ones((1,), jnp.float32))
+    out_specs = [pl.BlockSpec((1, blk, 2 * d), lambda i, j, g: (i, j, 0))]
+    out_shape = [jax.ShapeDtypeStruct((b * h2, s_q, 2 * d), q.dtype)]
+    if with_lse:
+        # revisited (1, 2, n_q, blk) block: each grid step writes its two
+        # per-head rows; (n_q, blk) trailing dims are legal for any blk
+        out_specs.append(pl.BlockSpec((1, 2, n_q, blk),
+                                      lambda i, j, g: (i, 0, 0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((b * h2, 2, n_q, blk),
+                                              jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b * h2, n_q),
@@ -153,16 +199,17 @@ def _flash_forward_packed2(q, k, v, gate, block_q, interpret):
             pl.BlockSpec((1, s_kv, 2 * d), lambda i, j, g: (i, 0, 0)),
             pl.BlockSpec((1, s_kv, 2 * d), lambda i, j, g: (i, 0, 0)),
         ],
-        out_specs=[pl.BlockSpec((1, blk, 2 * d), lambda i, j, g: (i, j, 0))],
+        out_specs=out_specs,
     )
-    out = pl.pallas_call(
+    res = pl.pallas_call(
         functools.partial(_attn_kernel2, scale=scale, gated=gated, d=d),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((b * h2, s_q, 2 * d), q.dtype)],
+        out_shape=out_shape,
         interpret=interpret,
-    )(gf, qf, kf, vf)[0]
+    )(gf, qf, kf, vf)
+    out, lse = res if with_lse else (res[0], None)
     return (out.reshape(b, h2, s_q, 2 * d).transpose(0, 2, 1, 3)
-            .reshape(b, s_q, h, d)), None
+            .reshape(b, s_q, h, d)), lse
 
 
 def _flash_forward(
@@ -338,6 +385,210 @@ def _flash_bwd_dkv_kernel(g_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref
         dg_ref[...] = jnp.zeros_like(dg_ref)
 
 
+def _flash_bwd_dq_kernel2(g_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                          dq_ref, delta_ref, dg_ref, *, scale: float,
+                          gated: bool, d: int):
+    """Packed-pair dq: same math as _flash_bwd_dq_kernel per head, on dense
+    (blk, 2d) tiles. lse/delta are (1, 2, n_q, blk); the dgate partials are
+    (1, 2, 8, 128) — one revisited tile per head."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    q_raw2 = q_ref[0].astype(jnp.float32)       # (blk, 2d)
+    k2 = k_ref[0].astype(jnp.float32)           # (s_kv, 2d)
+    v2 = v_ref[0].astype(jnp.float32)
+    do2 = do_ref[0].astype(jnp.float32)
+
+    if gated:
+        @pl.when(j == 0)
+        def _init():
+            dg_ref[...] = jnp.zeros_like(dg_ref)
+    else:
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+
+    dqs = []
+    for hh in (0, 1):
+        sl = slice(hh * d, (hh + 1) * d)
+        gg = g_ref[i * 2 + hh].astype(jnp.float32) if gated else 1.0
+        q_raw = q_raw2[:, sl]
+        q = q_raw * gg
+        k = k2[:, sl] * gg
+        v = v2[:, sl] * gg
+        do = do2[:, sl]
+        lse = lse_ref[0, hh, j].reshape(-1, 1)
+
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        p = jnp.exp(s - lse)
+        o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        delta = jnp.sum(do * o, axis=-1, keepdims=True)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale
+        dq_masked = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+        delta_ref[0, hh, j] = delta.reshape(-1)
+        if gated:
+            dqs.append(dq_masked * gg)
+            dg_ref[0, hh] = dg_ref[0, hh] + jnp.sum(dq_masked * q_raw)
+        else:
+            dqs.append(dq_masked)
+    dq_ref[0] = jnp.concatenate(dqs, axis=1).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel2(g_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                           delta_ref, dk_ref, dv_ref, dg_ref, *,
+                           scale: float, gated: bool, d: int):
+    """Packed-pair dk/dv: transposed per-head score layout on dense
+    (blk_kv, 2d) tiles; lse/delta ride as (1, 2, s_q) rows."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    q2 = q_ref[0].astype(jnp.float32)            # (s_q, 2d)
+    k_raw2 = k_ref[0].astype(jnp.float32)        # (blk_kv, 2d)
+    v_raw2 = v_ref[0].astype(jnp.float32)
+    do2 = do_ref[0].astype(jnp.float32)
+
+    if gated:
+        @pl.when(j == 0)
+        def _init():
+            dg_ref[...] = jnp.zeros_like(dg_ref)
+    else:
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+
+    dks, dvs = [], []
+    for hh in (0, 1):
+        sl = slice(hh * d, (hh + 1) * d)
+        gg = g_ref[i * 2 + hh].astype(jnp.float32) if gated else 1.0
+        q = q2[:, sl] * gg
+        k_raw = k_raw2[:, sl]
+        v_raw = v_raw2[:, sl]
+        k = k_raw * gg
+        v = v_raw * gg
+        do = do2[:, sl]
+        lse = lse_ref[0, hh].reshape(1, -1)      # (1, s_q)
+        delta = delta_ref[0, hh].reshape(1, -1)
+
+        s_t = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32) * scale
+        p_t = jnp.exp(s_t - lse)
+        dv_masked = jax.lax.dot_general(p_t, do, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+        dp_t = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        ds_t = p_t * (dp_t - delta) * scale
+        dk_masked = jax.lax.dot_general(ds_t, q, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+        if gated:
+            dks.append(dk_masked * gg)
+            dvs.append(dv_masked * gg)
+            dg_ref[0, hh] = dg_ref[0, hh] + (jnp.sum(dk_masked * k_raw)
+                                             + jnp.sum(dv_masked * v_raw))
+        else:
+            dks.append(dk_masked)
+            dvs.append(dv_masked)
+    dk_ref[0] = jnp.concatenate(dks, axis=1).astype(dk_ref.dtype)
+    dv_ref[0] = jnp.concatenate(dvs, axis=1).astype(dv_ref.dtype)
+
+
+def _flash_backward_packed2(q, k, v, gate, lse, do, block_q, interpret):
+    """Packed-pair two-kernel backward: identical math to _flash_backward on
+    dense 128-lane tiles (half the HBM bytes on q/k/v/do/dq/dk/dv streams,
+    half the grid rows). lse arrives (B·H/2, 2, n_q, blk) from the packed
+    training forward."""
+    b, s_q, h, d = q.shape
+    s_kv = k.shape[1]
+    scale = 1.0 / (d ** 0.5)
+    gated = gate is not None
+    h2 = h // 2
+
+    def pack(x):
+        return x.reshape(b, x.shape[1], h2, 2 * d).transpose(0, 2, 1, 3
+                                                             ).reshape(b * h2, x.shape[1], 2 * d)
+
+    qf, kf, vf, dof = pack(q), pack(k), pack(v), pack(do)
+    gf = (gate.astype(jnp.float32).reshape(b * h) if gated
+          else jnp.ones((1,), jnp.float32))
+
+    dg_shape = jax.ShapeDtypeStruct((b * h2, 2, 8, 128), jnp.float32)
+    dg_spec = pl.BlockSpec((1, 2, 8, 128), lambda i, j, g: (i, 0, 0, 0))
+
+    blk_q = _train_block2(block_q, s_q, s_kv)
+    n_q = pl.cdiv(s_q, blk_q)
+    assert lse.shape == (b * h2, 2, n_q, blk_q), (lse.shape, n_q, blk_q)
+    dq_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b * h2, n_q),
+        in_specs=[
+            pl.BlockSpec((1, blk_q, 2 * d), lambda i, j, g: (i, j, 0)),
+            pl.BlockSpec((1, s_kv, 2 * d), lambda i, j, g: (i, 0, 0)),
+            pl.BlockSpec((1, s_kv, 2 * d), lambda i, j, g: (i, 0, 0)),
+            pl.BlockSpec((1, blk_q, 2 * d), lambda i, j, g: (i, j, 0)),
+            pl.BlockSpec((1, 2, n_q, blk_q), lambda i, j, g: (i, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, blk_q, 2 * d), lambda i, j, g: (i, j, 0)),
+            pl.BlockSpec((1, 2, n_q, blk_q), lambda i, j, g: (i, 0, 0, 0)),
+            dg_spec,
+        ],
+    )
+    dqf, deltaf, dgq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel2, scale=scale, gated=gated,
+                          d=d),
+        grid_spec=dq_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h2, s_q, 2 * d), q.dtype),
+            jax.ShapeDtypeStruct((b * h2, 2, n_q, blk_q), jnp.float32),
+            dg_shape,
+        ],
+        interpret=interpret,
+    )(gf, qf, kf, vf, dof, lse)
+
+    # free row-major reshape to (1, 2, s_q)-consumable rows per head
+    lse_row = lse.reshape(b * h2, 2, s_q)
+    delta_row = deltaf.reshape(b * h2, 2, s_q)
+    blk_kv = _kv_block(block_q, s_kv, s_q, live_mats=5)
+    dkv_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b * h2, pl.cdiv(s_kv, blk_kv)),
+        in_specs=[
+            pl.BlockSpec((1, s_q, 2 * d), lambda i, j, g: (i, 0, 0)),
+            pl.BlockSpec((1, blk_kv, 2 * d), lambda i, j, g: (i, j, 0)),
+            pl.BlockSpec((1, blk_kv, 2 * d), lambda i, j, g: (i, j, 0)),
+            pl.BlockSpec((1, s_q, 2 * d), lambda i, j, g: (i, 0, 0)),
+            pl.BlockSpec((1, 2, s_q), lambda i, j, g: (i, 0, 0)),
+            pl.BlockSpec((1, 2, s_q), lambda i, j, g: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, blk_kv, 2 * d), lambda i, j, g: (i, j, 0)),
+            pl.BlockSpec((1, blk_kv, 2 * d), lambda i, j, g: (i, j, 0)),
+            dg_spec,
+        ],
+    )
+    dkf, dvf, dgkv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel2, scale=scale, gated=gated,
+                          d=d),
+        grid_spec=dkv_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h2, s_kv, 2 * d), k.dtype),
+            jax.ShapeDtypeStruct((b * h2, s_kv, 2 * d), v.dtype),
+            dg_shape,
+        ],
+        interpret=interpret,
+    )(gf, qf, kf, vf, dof, lse_row, delta_row)
+
+    def unpack(x, s):
+        return (x.reshape(b, h2, s, 2 * d).transpose(0, 2, 1, 3)
+                .reshape(b, s, h, d))
+
+    dq, dk, dv = unpack(dqf, s_q), unpack(dkf, s_kv), unpack(dvf, s_kv)
+    if gated:
+        dgate = ((dgq[:, :, 0, 0] + dgkv[:, :, 0, 0])
+                 .reshape(b, h).astype(gate.dtype))
+    else:
+        dgate = None
+    return dq, dk, dv, dgate
+
+
 def _flash_backward(q, k, v, gate, lse, do, block_q, interpret):
     """Returns (dq, dk, dv, dgate) for the masked-SDPA semantics.
 
@@ -401,7 +652,7 @@ def _flash_backward(q, k, v, gate, lse, do, block_q, interpret):
     # merge in-kernel ("unsupported shape cast"), XLA can outside
     lse_row = lsef.reshape(b * h, 1, s_q)
     delta_row = deltaf.reshape(b * h, 1, s_q)
-    blk_kv = _pick_block(block_q, s_kv, s_q, live_mats=4)
+    blk_kv = _kv_block(block_q, s_kv, s_q, live_mats=4)
     dkv_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b * h, pl.cdiv(s_kv, blk_kv)),
@@ -464,13 +715,59 @@ def flash_attention(q, k, v, gate=None, block_q: int = 512,
     return out
 
 
+def _pack2_ok(h: int, d: int) -> bool:
+    return h >= 2 and 2 * d == 128
+
+
+def _split_heads(x, he):
+    return x[:, :, :he], x[:, :, he:]
+
+
 def _fa_fwd(q, k, v, gate, block_q, interpret):
+    b, s_q, h, d = q.shape
+    if _pack2_ok(h, d):
+        # round 3: head-pair packing in TRAINING too — even pairs run the
+        # packed kernels (dense 128-lane tiles, half the attention IO), an
+        # odd final head runs unpacked; residual lse is a (packed, odd) pair
+        he = h - (h % 2)
+        ge = None if gate is None else gate[:, :he]
+        out_e, lse_e = _flash_forward_packed2(q[:, :, :he], k[:, :, :he],
+                                              v[:, :, :he], ge, block_q,
+                                              interpret, with_lse=True)
+        if h % 2:
+            qo, ko, vo = q[:, :, he:], k[:, :, he:], v[:, :, he:]
+            go = None if gate is None else gate[:, he:]
+            out_o, lse_o = _flash_forward(qo, ko, vo, go, block_q, interpret,
+                                          with_lse=True)
+            out = jnp.concatenate([out_e, out_o], axis=2)
+        else:
+            out, lse_o = out_e, None
+        return out, (q, k, v, gate, (lse_e, lse_o))
     out, lse = _flash_forward(q, k, v, gate, block_q, interpret, with_lse=True)
     return out, (q, k, v, gate, lse)
 
 
 def _fa_bwd(block_q, interpret, res, g_out):
     q, k, v, gate, lse = res
+    b, s_q, h, d = q.shape
+    if _pack2_ok(h, d):
+        lse_e, lse_o = lse
+        he = h - (h % 2)
+        ge = None if gate is None else gate[:, :he]
+        dq, dk, dv, dg = _flash_backward_packed2(
+            q[:, :, :he], k[:, :, :he], v[:, :, :he], ge, lse_e,
+            g_out[:, :, :he], block_q, interpret)
+        if h % 2:
+            go = None if gate is None else gate[:, he:]
+            dqo, dko, dvo, dgo = _flash_backward(
+                q[:, :, he:], k[:, :, he:], v[:, :, he:], go, lse_o,
+                g_out[:, :, he:], block_q, interpret)
+            dq = jnp.concatenate([dq, dqo], axis=2)
+            dk = jnp.concatenate([dk, dko], axis=2)
+            dv = jnp.concatenate([dv, dvo], axis=2)
+            if gate is not None:
+                dg = jnp.concatenate([dg, dgo], axis=1)
+        return dq, dk, dv, dg
     dq, dk, dv, dgate = _flash_backward(q, k, v, gate, lse, do=g_out,
                                         block_q=block_q, interpret=interpret)
     return dq, dk, dv, dgate

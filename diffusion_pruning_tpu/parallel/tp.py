@@ -84,6 +84,40 @@ def shard_params(mesh: Mesh, params, specs=None):
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
 
 
+def shard_pipeline(pipe, mesh: Mesh):
+    """Place a PruningPipeline's params over a data×model mesh for sharded
+    serving: the gated U-Net gets the Megatron specs above (TP contractions
+    over the model axis); VAE/text/router params replicate (their cost is a
+    small fraction of the denoise loop — DP over the data axis is enough);
+    batches shard on the data axis inside every jitted stage (the pipeline's
+    `mesh` field + `_data_shard`). Returns a NEW pipeline — jit caches are
+    intentionally dropped (placements changed, traces must rebuild).
+
+    Beyond-reference capability: the reference serves one GPU per process
+    (generate_fid_images.py slices work across processes); this runs ONE
+    batch across the whole mesh with XLA-placed ICI collectives — the only
+    option when 512px+ activations or K resident experts exceed one chip."""
+    import dataclasses
+    repl = NamedSharding(mesh, P())
+
+    def put_repl(tree):
+        if tree is None:
+            return None
+        return jax.tree.map(lambda x: jax.device_put(x, repl), tree)
+
+    return dataclasses.replace(
+        pipe,
+        unet_params=(None if pipe.unet_params is None
+                     else shard_params(mesh, pipe.unet_params)),
+        vae_params=put_repl(pipe.vae_params),
+        text_params=put_repl(pipe.text_params),
+        hypernet_params=put_repl(pipe.hypernet_params),
+        quantizer_params=put_repl(pipe.quantizer_params),
+        quantizer_state=put_repl(pipe.quantizer_state),
+        mesh=mesh,
+    )
+
+
 def tp_jit_forward(model, mesh: Mesh, specs=None):
     """Jitted U-Net forward with TP params and data-sharded batch. Returns
     fn(params, sample, t, ehs, arch) — params must be placed by

@@ -81,6 +81,13 @@ class ExpertServer:
                 # serving precision: K materialised experts at f32 can exceed
                 # HBM (8 × 0.6-MACs SD-2.1 ≈ 17 GB); bf16 halves that
                 p = jax.tree.map(lambda x: jnp.asarray(x, param_dtype), p)
+            if getattr(pipeline, "mesh", None) is not None:
+                # sharded serving (parallel.tp.shard_pipeline on the base):
+                # expert param trees share the dense tree's paths, so the
+                # same Megatron specs apply; expert pipes inherit the mesh
+                # through dataclasses.replace and their batches data-shard
+                from diffusion_pruning_tpu.parallel.tp import shard_params
+                p = shard_params(pipeline.mesh, p)
             params.append(p)
             ratios.append(expert_macs_ratio(spec, plan))
         return cls(pipeline, models, params, ratios, batch_size)

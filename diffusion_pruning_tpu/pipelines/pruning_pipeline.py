@@ -52,11 +52,32 @@ class PruningPipeline:
     # safety_checker + feature_extractor, pruning_pipelines.py:160-178,
     # applied at :826-839); None = requires_safety_checker=False behaviour
     safety_checker: Optional[object] = None
+    # optional jax.sharding.Mesh with a "data" axis (and usually a "model"
+    # axis): batches are constrained onto the data axis inside the jitted
+    # stages and XLA's SPMD partitioner distributes the work — set via
+    # parallel.tp.shard_pipeline, which also places the params. Beyond the
+    # reference (serving there is single-GPU per process); built for 512px+
+    # multi-chip serving where one chip's HBM/latency budget is the limit.
+    mesh: Optional[object] = None
 
     def _sampler(self):
         if self.sampler == "pndm":
             return PNDMSampler(self.schedule)
         return DDIMSampler(self.schedule)
+
+    def _data_shard(self, x):
+        """Constrain a batch-leading array onto the mesh's data axis (no-op
+        without a mesh, or when the batch doesn't divide — e.g. a (1, 77)
+        negative-prompt row). Used INSIDE jitted stages so GSPMD partitions
+        the batch and places the TP collectives on ICI."""
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        dp = dict(zip(self.mesh.axis_names, self.mesh.devices.shape)).get("data", 1)
+        if x.shape[0] % dp != 0:
+            return x
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, P("data")))
 
     def _jitted(self, name, fn):
         """Per-instance jit cache — every pipeline stage must run as one
@@ -73,7 +94,8 @@ class PruningPipeline:
 
     def encode_prompt(self, input_ids: jax.Array) -> jax.Array:
         fn = self._jitted("encode_prompt",
-                          lambda p, ids: self.text_encoder.apply({"params": p}, ids))
+                          lambda p, ids: self.text_encoder.apply(
+                              {"params": p}, self._data_shard(ids)))
         return fn(self.text_params, input_ids)
 
     def route(self, prompt_embeds: jax.Array, hyper_net_input: Optional[jax.Array] = None):
@@ -106,9 +128,12 @@ class PruningPipeline:
 
         @jax.jit
         def run(unet_params, ehs, arch, latents):
+            latents = self._data_shard(latents)
+            ehs = self._data_shard(ehs)
+
             def model_fn(x, t):
                 if do_cfg:
-                    x_in = jnp.concatenate([x, x])
+                    x_in = self._data_shard(jnp.concatenate([x, x]))
                     t_in = jnp.concatenate([t, t])
                     out = unet.apply({"params": unet_params}, x_in, t_in, ehs, arch=arch)
                     uncond, cond = jnp.split(out, 2)
@@ -136,7 +161,8 @@ class PruningPipeline:
     def decode(self, latents: jax.Array) -> jax.Array:
         """Latents → uint8-range images in [0, 1], NHWC."""
         fn = self._jitted("decode", lambda p, z: jnp.clip(
-            self.vae.apply({"params": p}, z, method=AutoencoderKL.decode
+            self.vae.apply({"params": p}, self._data_shard(z),
+                           method=AutoencoderKL.decode
                            ).astype(jnp.float32) / 2 + 0.5, 0.0, 1.0))
         return fn(self.vae_params, latents)
 

@@ -183,12 +183,66 @@ def test_flash_backward_cross_attention():
                                    atol=5e-4, rtol=1e-3, err_msg=name)
 
 
+def test_flash_gradients_odd_heads_packed_split():
+    """Training grads with h odd: the even pairs run the PACKED backward,
+    the final head the unpacked one, and the concatenated grads must equal
+    masked-SDPA exactly (SD-2.1's 320-ch blocks: h=5)."""
+    key = jax.random.PRNGKey(11)
+    b, s, h, d = 1, 64, 3, 64
+    ks = jax.random.split(key, 4)
+    q = jax.random.normal(ks[0], (b, s, h, d))
+    k = jax.random.normal(ks[1], (b, s, h, d))
+    v = jax.random.normal(ks[2], (b, s, h, d))
+    gate = jax.random.uniform(ks[3], (b, h)) * 0.8 + 0.1
+
+    def loss_flash(q, k, v, g):
+        return (flash_attention(q, k, v, g, 512, True) ** 2).sum()
+
+    def loss_ref(q, k, v, g):
+        gg = g[:, None, :, None]
+        return (jax.nn.dot_product_attention(q * gg, k * gg, v * gg) ** 2).sum()
+
+    got = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, gate)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, gate)
+    for g1, g2, name in zip(got, want, "qkvg"):
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   atol=5e-4, rtol=1e-3, err_msg=name)
+
+
+def test_flash_gradients_packed_multi_qblock_cross():
+    """Packed training backward with several q-blocks AND cross-attention
+    (s_q != s_kv): per-head lse/delta rows and the accumulated dgate must
+    match masked-SDPA."""
+    key = jax.random.PRNGKey(12)
+    b, sq, skv, h, d = 1, 256, 77, 4, 64
+    ks = jax.random.split(key, 4)
+    q = jax.random.normal(ks[0], (b, sq, h, d))
+    k = jax.random.normal(ks[1], (b, skv, h, d))
+    v = jax.random.normal(ks[2], (b, skv, h, d))
+    gate = jax.random.uniform(ks[3], (b, h)) * 0.8 + 0.1
+
+    def loss_flash(q, k, v, g):
+        return (flash_attention(q, k, v, g, 64, True) ** 2).sum()
+
+    def loss_ref(q, k, v, g):
+        gg = g[:, None, :, None]
+        return (jax.nn.dot_product_attention(q * gg, k * gg, v * gg) ** 2).sum()
+
+    got = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, gate)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, gate)
+    for g1, g2, name in zip(got, want, "qkvg"):
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   atol=5e-4, rtol=1e-3, err_msg=name)
+
+
 def test_tpu_tile_legality_all_sd_shapes():
     """Mosaic requires each block's last two dims to be (8,128)-divisible or
     equal to the array dims. Interpret-mode tests can't catch violations (a
     512px lowering break shipped twice this round) — this mirrors the
     kernels' block/array choices for every SD shape and checks the rule."""
-    from diffusion_pruning_tpu.ops.flash_attention import _pick_block, _train_block
+    from diffusion_pruning_tpu.ops.flash_attention import (
+        _kv_block, _pick_block, _train_block,
+    )
 
     def legal(block, array):
         for b_, a_, need in ((block[-2], array[-2], 8), (block[-1], array[-1], 128)):
@@ -204,7 +258,7 @@ def test_tpu_tile_legality_all_sd_shapes():
         blk_t = _train_block(512, s_q, s_kv)
         n_q = -(-s_q // blk_t)
         blk_i = _pick_block(512, s_q, s_kv, live_mats=2)
-        blk_kv = _pick_block(512, s_kv, s_q, live_mats=4)
+        blk_kv = _kv_block(512, s_kv, s_q, live_mats=4)
         n_kv = -(-s_kv // blk_kv)
         cases = [
             # forward (training): q/k/v/o blocks + revisited lse
@@ -225,6 +279,20 @@ def test_tpu_tile_legality_all_sd_shapes():
             ((1, s_q, D), (BH, s_q, D)),
             ((1, blk_kv, D), (BH, s_kv, D)),
             ((1, 1, s_q), (BH, 1, s_q)),
+        ]
+        # packed TRAINING kernels (round 3): dense 128-lane q/k/v/do tiles,
+        # (1, 2, n_q2, blk2) lse/delta, (1, 2, 8, 128) dgate, (1, 2, s_q) rows
+        from diffusion_pruning_tpu.ops.flash_attention import _train_block2
+        blk2 = _train_block2(512, s_q, s_kv)
+        n_q2 = -(-s_q // blk2)
+        blk_kv2 = _kv_block(512, s_kv, s_q, live_mats=5)
+        cases += [
+            ((1, blk2, 2 * D), (BH // 2, s_q, 2 * D)),
+            ((1, s_kv, 2 * D), (BH // 2, s_kv, 2 * D)),
+            ((1, 2, n_q2, blk2), (BH // 2, 2, n_q2, blk2)),
+            ((1, 2, 8, 128), (BH // 2, 2, 8, 128)),
+            ((1, blk_kv2, 2 * D), (BH // 2, s_kv, 2 * D)),
+            ((1, 2, s_q), (BH // 2, 2, s_q)),
         ]
         for block, array in cases:
             assert legal(block, array), (s_q, s_kv, block, array)

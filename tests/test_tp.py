@@ -64,6 +64,55 @@ def test_tp_forward_matches_single_device(devices):
     assert len(leaf.sharding.device_set) >= 4
 
 
+def test_sharded_pipeline_matches_single_device(devices):
+    """shard_pipeline over a 2×4 data×model mesh must reproduce the
+    single-device routed pipeline and expert server bit-for-bit (up to CPU
+    conv-library noise) — the 512px+ multi-chip serving path."""
+    from test_pipeline import build_tiny_pipeline
+    from diffusion_pruning_tpu.parallel.tp import shard_pipeline
+    from diffusion_pruning_tpu.pipelines.expert_server import ExpertServer
+    from diffusion_pruning_tpu.core import build_structure
+
+    p = build_tiny_pipeline()
+    cfg = p.unet.cfg
+    b = 4
+    ids = jnp.asarray(np.random.RandomState(0).randint(
+        0, 100, (b, cfg.max_text_len)))
+    neg = jnp.zeros((b, cfg.max_text_len), jnp.int32)
+    key = jax.random.PRNGKey(3)
+
+    ref_imgs, ref_idx, ref_ratios = p(ids, neg, key, num_inference_steps=3,
+                                      guidance_scale=7.5)
+
+    mesh = dp_tp_mesh(2, 4, devices)
+    sp = shard_pipeline(p, mesh)
+    out_imgs, out_idx, out_ratios = sp(ids, neg, key, num_inference_steps=3,
+                                       guidance_scale=7.5)
+    np.testing.assert_array_equal(np.asarray(out_idx), np.asarray(ref_idx))
+    np.testing.assert_allclose(np.asarray(out_imgs), np.asarray(ref_imgs),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_ratios), np.asarray(ref_ratios),
+                               rtol=1e-5, atol=1e-6)
+    # U-Net params really live on the mesh
+    leaf = sp.unet_params["mid_block_attentions_0"]["transformer_blocks_0"][
+        "attn1"]["to_q"]["kernel"]
+    assert len(leaf.sharding.device_set) == 8
+
+    # expert server built FROM the sharded pipeline: experts shard too and
+    # dispatch reproduces the single-device server
+    spec = build_structure(cfg)
+    ref_server = ExpertServer.from_codebook(p, p.unet_params, spec, cfg,
+                                            batch_size=2)
+    sh_server = ExpertServer.from_codebook(sp, sp.unet_params, spec, cfg,
+                                           batch_size=2)
+    ref_out, ref_e = ref_server.generate(ids, neg, jax.random.PRNGKey(7),
+                                         num_inference_steps=2)
+    sh_out, sh_e = sh_server.generate(ids, neg, jax.random.PRNGKey(7),
+                                      num_inference_steps=2)
+    np.testing.assert_array_equal(np.asarray(sh_e), np.asarray(ref_e))
+    np.testing.assert_allclose(sh_out, ref_out, rtol=1e-4, atol=1e-4)
+
+
 def test_gspmd_dp_tp_finetune_step_matches_single_device(devices):
     """2-D (data×model) GSPMD fine-tune step ≡ the single-device step with
     the same key — global-batch semantics, XLA-placed collectives."""
