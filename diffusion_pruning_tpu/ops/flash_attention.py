@@ -719,10 +719,6 @@ def _pack2_ok(h: int, d: int) -> bool:
     return h >= 2 and 2 * d == 128
 
 
-def _split_heads(x, he):
-    return x[:, :, :he], x[:, :, he:]
-
-
 def _fa_fwd(q, k, v, gate, block_q, interpret):
     b, s_q, h, d = q.shape
     if _pack2_ok(h, d):

@@ -94,6 +94,78 @@ class ExpertServer:
 
     # ------------------------------------------------------------------
 
+    def warmup(self, num_inference_steps: int = 25,
+               guidance_scale: float = 7.5, hybrid: bool = False,
+               aot_dir: Optional[str] = None, decode: bool = True) -> dict:
+        """Build every (expert, tier) denoise program — plus the hybrid
+        gated programs and the per-tier VAE decodes — BEFORE traffic
+        arrives, so no request ever pays trace/compile latency.
+
+        aot_dir: persist each program via jax.export (pipelines/aot.py).
+        A later process's warmup() deserializes instead of tracing — with
+        the persistent XLA cache also warm, server cold-start drops from
+        K×tiers × (trace+compile) to artifact-load time.
+
+        Returns {"loaded": n, "built": n}: loaded = deserialized from
+        aot_dir (tracing skipped), built = traced this process (and
+        exported to aot_dir when given). Prompt encoding is NOT warmed
+        (its batch dim follows request sizes, and the text tower traces
+        in ~a second). Mesh-sharded pipelines (parallel.tp.shard_pipeline)
+        fall back to built programs — exported modules pin device counts.
+        """
+        from diffusion_pruning_tpu.pipelines import aot as aot_lib
+        cfg = self.base_pipeline.unet.cfg
+        tdt = getattr(self.base_pipeline.text_encoder, "dtype", jnp.float32)
+        do_cfg = guidance_scale > 1.0
+        s = cfg.sample_size
+        stats = {"loaded": 0, "built": 0}
+
+        def warm_programs(pipe, params, arch, tag):
+            run = pipe._denoise_fn(num_inference_steps, guidance_scale,
+                                   gated=arch is not None)
+            disp = aot_lib.ShapeDispatch(run)
+            pipe._denoise_cache[(num_inference_steps, guidance_scale,
+                                 arch is not None, pipe.sampler)] = disp
+            for t in self.batch_shapes:
+                ehs = jnp.zeros((2 * t if do_cfg else t, cfg.max_text_len,
+                                 cfg.cross_attention_dim), tdt)
+                latents = jnp.zeros((t, s, s, cfg.in_channels), jnp.float32)
+                a = None if arch is None else jnp.tile(arch, (t, 1))
+                args = (params, ehs, a, latents)
+                loaded = None
+                if aot_dir is not None:
+                    path = aot_lib.program_path(aot_dir, f"{tag}-t{t}", args)
+                    loaded = aot_lib.try_load(path)
+                if loaded is not None:
+                    # execute once NOW: the deserialized module still XLA-
+                    # compiles on first call (persistent-cache-backed) —
+                    # that belongs in warmup, not in the first request
+                    jax.block_until_ready(loaded(*args))
+                    disp.add(args, loaded)
+                    stats["loaded"] += 1
+                else:
+                    jax.block_until_ready(run(*args))
+                    stats["built"] += 1
+                    if aot_dir is not None and aot_lib.export_to(path, run, args):
+                        fn = aot_lib.try_load(path)
+                        if fn is not None:
+                            disp.add(args, fn)
+                if decode:
+                    jax.block_until_ready(pipe.decode(latents))
+
+        for e in range(len(self.expert_models)):
+            warm_programs(self._expert_pipe(e), self.expert_params[e],
+                          None, f"denoise-e{e}")
+        if hybrid:
+            from diffusion_pruning_tpu.core.estimators import hard_concrete
+            codes = hard_concrete(
+                jnp.asarray(self.base_pipeline.quantizer_state["embedding_gs"]))
+            # per-prompt archs vary at runtime but the PROGRAM is arch-shape
+            # -generic; warm (and export) with code 0's realisation
+            warm_programs(self.base_pipeline, self.base_pipeline.unet_params,
+                          codes[:1], "denoise-gated")
+        return stats
+
     def route(self, input_ids: jax.Array,
               hyper_net_input: Optional[jax.Array] = None) -> np.ndarray:
         prompt_embeds = self.base_pipeline.encode_prompt(input_ids)

@@ -60,12 +60,17 @@ def main():
         logits = hypernet.apply({"params": hn_params}, emb)
         return quantizer.cosine_indices(logits, q_state["embedding_gs"], key=None)
 
+    # jitted with params as ARGUMENTS (closure capture would bake them into
+    # the HLO) — eager apply costs one device round trip per op, which at
+    # 2048-caption batches over a remote tunnel dominates the whole pass
+    mp_fwd = jax.jit(lambda p, ids, mask: mean_pool(
+        mpnet.apply({"params": p}, ids, mask), mask))
+
     def embed(caps):
-        enc = tok(caps, padding=True, truncation=True, return_tensors="np")
-        out = mpnet.apply({"params": mpnet_params},
-                          jnp.asarray(enc["input_ids"]),
-                          jnp.asarray(enc["attention_mask"]))
-        return np.asarray(mean_pool(out, jnp.asarray(enc["attention_mask"])))
+        enc = tok(caps, padding="max_length", max_length=64,
+                  truncation=True, return_tensors="np")
+        return np.asarray(mp_fwd(mpnet_params, jnp.asarray(enc["input_ids"]),
+                                 jnp.asarray(enc["attention_mask"])))
 
     data_dir = cfg.data.get("data_dir") or ""
     if os.path.exists(data_dir):
