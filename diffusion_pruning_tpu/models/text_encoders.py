@@ -181,6 +181,22 @@ def mean_pool(token_embeddings: jax.Array, attention_mask: jax.Array) -> jax.Arr
     return (token_embeddings * m).sum(axis=1) / jnp.clip(m.sum(axis=1), 1e-9)
 
 
+# all-mpnet-base-v2's sentence-transformers max_seq_length — the reference's
+# router-feature tokenization budget. One static shape so the embed program
+# compiles once (dynamic padding would recompile per batch max length).
+MPNET_MAX_LEN = 128
+
+
+def jit_sentence_embed(mpnet):
+    """Jitted MPNet sentence embedding: mean-pooled token states. Params are
+    an ARGUMENT (closure capture bakes them into the HLO shipped to remote
+    compilers); eager apply costs one device round trip per op. Shared by
+    filter_dataset (stage-1 routing) and the serving CLI so both tokenize
+    and embed identically."""
+    return jax.jit(lambda p, ids, mask: mean_pool(
+        mpnet.apply({"params": p}, ids, mask), mask))
+
+
 def clip_pooled_text_features(hidden: jax.Array, input_ids: jax.Array,
                               projection: Optional[jax.Array] = None,
                               eos_token_id: Optional[int] = None) -> jax.Array:

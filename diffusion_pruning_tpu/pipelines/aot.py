@@ -44,9 +44,14 @@ def signature(args) -> str:
 
 
 def program_path(aot_dir: str, tag: str, args) -> str:
+    # device count is part of the key: exported modules pin the lowering's
+    # device topology, so an 8-device export must never resolve for a
+    # 1-device process (and vice versa)
     plat = jax.default_backend()
+    ndev = len(jax.devices())
     return os.path.join(
-        aot_dir, f"{tag}-{plat}-jax{jax.__version__}-{signature(args)}.jaxpgm")
+        aot_dir,
+        f"{tag}-{plat}{ndev}-jax{jax.__version__}-{signature(args)}.jaxpgm")
 
 
 def try_load(path: str) -> Optional[Callable]:
@@ -84,17 +89,23 @@ class ShapeDispatch:
     """Dispatch a call to the AOT program persisted for its exact abstract
     signature; fall back to the traced jit for any other shapes. Drop-in
     replacement for a pipeline's cached denoise fn (same positional
-    calling convention)."""
+    calling convention: (params, *operands)).
+
+    Dispatch keys hash only the OPERANDS (args[1:]): the leading params
+    tree is constant for a pipeline, and flattening + hashing the full
+    SD-2.1 tree per request is measurable host overhead on a 1-core
+    serving host. Artifact paths (program_path) still key the full
+    signature, params included."""
 
     def __init__(self, fallback: Callable):
         self.fallback = fallback
         self._by_sig = {}
 
     def add(self, args, fn: Callable) -> None:
-        self._by_sig[signature(args)] = fn
+        self._by_sig[signature(args[1:])] = fn
 
     def __call__(self, *args):
-        fn = self._by_sig.get(signature(args))
+        fn = self._by_sig.get(signature(args[1:]))
         if fn is not None:
             return fn(*args)
         return self.fallback(*args)

@@ -139,8 +139,16 @@ class ExpertServer:
                 if loaded is not None:
                     # execute once NOW: the deserialized module still XLA-
                     # compiles on first call (persistent-cache-backed) —
-                    # that belongs in warmup, not in the first request
-                    jax.block_until_ready(loaded(*args))
+                    # that belongs in warmup, not in the first request. A
+                    # module that deserializes but cannot RUN here (stale
+                    # artifact from a different topology) falls back to the
+                    # traced build — the aot.py contract: correctness never
+                    # depends on an artifact
+                    try:
+                        jax.block_until_ready(loaded(*args))
+                    except Exception:
+                        loaded = None
+                if loaded is not None:
                     disp.add(args, loaded)
                     stats["loaded"] += 1
                 else:
@@ -150,12 +158,17 @@ class ExpertServer:
                         fn = aot_lib.try_load(path)
                         if fn is not None:
                             disp.add(args, fn)
-                if decode:
-                    jax.block_until_ready(pipe.decode(latents))
 
         for e in range(len(self.expert_models)):
             warm_programs(self._expert_pipe(e), self.expert_params[e],
                           None, f"denoise-e{e}")
+        if decode:
+            # the VAE decode is SHARED across experts (_expert_pipe wires
+            # base._fn_cache into every expert pipe) — warm once per tier,
+            # not once per expert per tier
+            for t in self.batch_shapes:
+                latents = jnp.zeros((t, s, s, cfg.in_channels), jnp.float32)
+                jax.block_until_ready(self.base_pipeline.decode(latents))
         if hybrid:
             from diffusion_pruning_tpu.core.estimators import hard_concrete
             codes = hard_concrete(

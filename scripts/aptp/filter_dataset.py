@@ -25,7 +25,6 @@ def main():
     from diffusion_pruning_tpu.core import build_structure
     from diffusion_pruning_tpu.data import get_dataset
     from diffusion_pruning_tpu.data.loader import filter_dataset
-    from diffusion_pruning_tpu.models.text_encoders import mean_pool
     from diffusion_pruning_tpu.training.factory import (
         build_hypernet, build_mpnet, build_quantizer, unet_config_from_yaml,
     )
@@ -60,14 +59,12 @@ def main():
         logits = hypernet.apply({"params": hn_params}, emb)
         return quantizer.cosine_indices(logits, q_state["embedding_gs"], key=None)
 
-    # jitted with params as ARGUMENTS (closure capture would bake them into
-    # the HLO) — eager apply costs one device round trip per op, which at
-    # 2048-caption batches over a remote tunnel dominates the whole pass
-    mp_fwd = jax.jit(lambda p, ids, mask: mean_pool(
-        mpnet.apply({"params": p}, ids, mask), mask))
+    from diffusion_pruning_tpu.models.text_encoders import (
+        MPNET_MAX_LEN, jit_sentence_embed)
+    mp_fwd = jit_sentence_embed(mpnet)
 
     def embed(caps):
-        enc = tok(caps, padding="max_length", max_length=64,
+        enc = tok(caps, padding="max_length", max_length=MPNET_MAX_LEN,
                   truncation=True, return_tensors="np")
         return np.asarray(mp_fwd(mpnet_params, jnp.asarray(enc["input_ids"]),
                                  jnp.asarray(enc["attention_mask"])))

@@ -185,25 +185,23 @@ def main(argv=None):
                                padding="max_length", truncation=True,
                                return_tensors="np").input_ids)
 
-    # router features: MPNet sentence embeddings (the space the stage-1
-    # hypernet was trained on — filter_dataset.py routes the same way)
-    from diffusion_pruning_tpu.models.text_encoders import mean_pool
+    # router features: MPNet sentence embeddings — the space the stage-1
+    # hypernet trained on; SAME tokenization + jitted embed as
+    # filter_dataset.py so serve-time routing matches stage-1 filtering
+    from diffusion_pruning_tpu.models.text_encoders import (
+        MPNET_MAX_LEN, jit_sentence_embed)
     if os.path.exists(args.prompt_encoder_model_name_or_path or ""):
         from transformers import AutoTokenizer
         mp_tok = AutoTokenizer.from_pretrained(
             args.prompt_encoder_model_name_or_path)
     else:
         from diffusion_pruning_tpu.data.dummy_tokenizer import DummyTokenizer
-        mp_tok = DummyTokenizer(vocab_size=mpnet.cfg.vocab_size, max_length=32)
-
-    # ONE compiled program per wave shape — eager apply costs a tunnel
-    # round trip per op (params stay jit args: closure capture would bake
-    # them into the HLO shipped to the remote compiler)
-    mp_fwd = jax.jit(lambda p, ids, mask: mean_pool(
-        mpnet.apply({"params": p}, ids, mask), mask))
+        mp_tok = DummyTokenizer(vocab_size=mpnet.cfg.vocab_size,
+                                max_length=MPNET_MAX_LEN)
+    mp_fwd = jit_sentence_embed(mpnet)
 
     def route_features(caps):
-        enc = mp_tok(caps, padding="max_length", max_length=32,
+        enc = mp_tok(caps, padding="max_length", max_length=MPNET_MAX_LEN,
                      truncation=True, return_tensors="np")
         return mp_fwd(mpnet_params, jnp.asarray(enc["input_ids"]),
                       jnp.asarray(enc["attention_mask"]))

@@ -70,21 +70,24 @@ def test_warmup_hybrid_covers_gated_programs(tmp_path):
 
 
 def test_shape_dispatch_falls_back_on_unseen_shapes():
+    """Keys hash the OPERANDS only — the leading params tree is constant
+    per pipeline and excluded from the per-call hash (hot-path cost)."""
     calls = {"fallback": 0, "aot": 0}
 
-    def fallback(x):
+    def fallback(p, x):
         calls["fallback"] += 1
         return x + 1
 
-    def fake_aot(x):
+    def fake_aot(p, x):
         calls["aot"] += 1
         return x + 1
 
     d = aot.ShapeDispatch(fallback)
+    params = {"w": jnp.zeros((5,))}
     a = jnp.zeros((2, 3))
-    d.add((a,), fake_aot)
-    d(a)                       # matching signature → aot
-    d(jnp.zeros((4, 3)))       # unseen shape → fallback
+    d.add((params, a), fake_aot)
+    d(params, a)                       # matching operand signature → aot
+    d(params, jnp.zeros((4, 3)))       # unseen operand shape → fallback
     assert calls == {"fallback": 1, "aot": 1}
 
 
