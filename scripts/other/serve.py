@@ -55,8 +55,10 @@ def parse_args(argv=None):
     p.add_argument("--num_inference_steps", type=int, default=25)
     p.add_argument("--guidance_scale", type=float, default=7.5)
     p.add_argument("--mode", type=str, default="experts",
-                   choices=["experts", "hybrid"],
-                   help="hybrid: sub-tier remainders pool into one gated batch.")
+                   choices=["experts", "hybrid", "routed"],
+                   help="hybrid: sub-tier remainders pool into one gated "
+                        "batch; routed: no materialised experts — the gated "
+                        "U-Net with per-prompt archs (A/B baseline).")
     p.add_argument("--aot_dir", type=str, default=None,
                    help="Persist/load AOT programs (pipelines/aot.py).")
     p.add_argument("--no_warmup", action="store_true")
@@ -139,12 +141,17 @@ def build_server(args):
             expert_weights.append(r["params"])
             log(f"expert {e}: fine-tuned weights from {d}")
 
-    log("materialising experts")
-    server = ExpertServer.from_codebook(
-        pipe, unet_params, spec, ucfg, expert_weights=expert_weights,
-        batch_size=args.batch_size, param_dtype=dtype)
-    log(f"experts materialised: MACs ratios "
-        f"{[round(r, 3) for r in server.expert_ratios]}")
+    if args.mode == "routed":
+        # no materialised experts: the routed baseline serves through the
+        # dense gated U-Net only (K resident experts would waste ~K×1.2 GB)
+        server = ExpertServer(pipe, [], [], [], args.batch_size)
+    else:
+        log("materialising experts")
+        server = ExpertServer.from_codebook(
+            pipe, unet_params, spec, ucfg, expert_weights=expert_weights,
+            batch_size=args.batch_size, param_dtype=dtype)
+        log(f"experts materialised: MACs ratios "
+            f"{[round(r, 3) for r in server.expert_ratios]}")
     return server, ucfg, tiny, (mpnet, mpnet_params)
 
 
@@ -156,7 +163,7 @@ def main(argv=None):
 
     server, ucfg, tiny, (mpnet, mpnet_params) = build_server(args)
 
-    if not args.no_warmup:
+    if not args.no_warmup and args.mode != "routed":
         t0 = time.perf_counter()
         stats = server.warmup(num_inference_steps=args.num_inference_steps,
                               guidance_scale=args.guidance_scale,
@@ -219,6 +226,18 @@ def main(argv=None):
     pending_fut, results = None, {}
     for lo in range(0, len(prompts), args.arrival_batch):
         wave = prompts[lo: lo + args.arrival_batch]
+        if args.mode == "routed":
+            # A/B baseline: per-prompt gated archs through the dense U-Net
+            # (the reference's only online path, pruning_pipelines.py:767)
+            key, sub = jax.random.split(key)
+            imgs = server.base_pipeline(
+                ids_of(wave), jnp.tile(neg, (len(wave), 1)), sub,
+                hyper_net_input=route_features(wave),
+                num_inference_steps=args.num_inference_steps,
+                guidance_scale=args.guidance_scale)[0]
+            for j in range(len(wave)):
+                results[lo + j] = np.asarray(imgs[j])
+            continue
         queue.submit(ids_of(wave), neg, hyper_net_input=route_features(wave))
         if pending_fut is not None:
             results.update(pending_fut.result())
