@@ -55,7 +55,29 @@ STEPS = 25
 RES = int(os.environ.get("DPT_BENCH_RES", "256"))
 
 
+def _require_device(timeout_s: int = 300) -> None:
+    """Fail fast with a well-formed JSON line when the device can't init.
+
+    The remote-TPU tunnel can wedge (observed: a serving process SIGTERM'd
+    mid-claim left every later jax.devices() hanging for hours) — without
+    this guard the bench would hang the driver instead of reporting."""
+    import threading
+    ok: list = []
+    t = threading.Thread(target=lambda: ok.append(jax.devices()), daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not ok:
+        print(json.dumps({
+            "metric": f"ddim25_cfg_images_per_sec_per_chip_{RES}px",
+            "value": None, "unit": "images/sec", "vs_baseline": None,
+            "error": f"device init timed out after {timeout_s}s "
+                     "(TPU tunnel unavailable)"}))
+        sys.stdout.flush()
+        os._exit(1)
+
+
 def main():
+    _require_device()
     from diffusion_pruning_tpu.core import build_structure
     from diffusion_pruning_tpu.models.unet.config import UNetConfig
     from diffusion_pruning_tpu.models.unet.unet import GatedUNet
