@@ -138,6 +138,7 @@ def build(args):
         "quantizer": mods.quantizer.init_params(rng),
     }
     if args.redundancy_keep < 1.0:
+        from diffusion_pruning_tpu.utils.synthetic import plant_redundancy
         frozen["unet"], planted = plant_redundancy(
             spec, frozen["unet"], keep=args.redundancy_keep,
             eps=args.redundancy_eps, seed=args.seed + 5)
@@ -145,63 +146,6 @@ def build(args):
             f"magnitude, rest damped x{args.redundancy_eps}")
     jax.block_until_ready(trainable)
     return mods, spec, frozen, trainable, tcfg, mp_dim
-
-
-def plant_redundancy(spec, dense_unet, keep=0.5, eps=0.02, seed=123):
-    """Damp a random `1-keep` fraction of gate units in the dense weights.
-
-    Real pretrained U-Nets have redundancy — that is the premise of pruning,
-    and what lets the reference's loss weights trade resource pressure
-    against distillation (with fully random weights every channel is equally
-    'important', the dense point is the true optimum of the distill/block
-    terms, and the codebook parks at ratio 1.0 — observed). Planting
-    group-aligned low-magnitude slabs restores the property the mechanism
-    needs: pruning the damped units costs ~eps² distillation, so the
-    resource loss can pull the ratio to target through genuinely-cheap
-    directions.
-
-    Damping points mirror models/unet/pruned.py's slice map:
-      resnet hidden groups → norm2.scale slabs (the gate sits between conv1
-        and norm2, whose GroupNorm is scale-invariant per group — the
-        learned γ is the group's true magnitude knob);
-      attention heads → to_v columns (output contribution scales with v);
-      GEGLU units → act.proj columns (both halves).
-    """
-    from diffusion_pruning_tpu.models.unet.pruned import _expand_units, _module_name
-    rng = np.random.RandomState(seed)
-    kept_mask = rng.rand(spec.num_width) < keep
-    # mimic the non-zero-width rescue: first unit of every site stays
-    for sb in spec.subblocks:
-        for site in sb.sites:
-            kept_mask[site.start] = True
-
-    def damp(tree):
-        tree = jax.tree.map(lambda x: x, tree)  # shallow-copy containers
-        for sb in spec.subblocks:
-            mod = _module_name(sb.name)
-            for site in sb.sites:
-                dropped = np.nonzero(
-                    ~kept_mask[site.start: site.start + site.width])[0]
-                if len(dropped) == 0:
-                    continue
-                unit = site.channels // site.width
-                ch = _expand_units(tuple(int(i) for i in dropped), unit)
-                if sb.kind == "resnet":
-                    p = tree[mod]["norm2"]
-                    p["scale"] = p["scale"].at[ch].multiply(eps)
-                else:
-                    tb = tree[mod]["transformer_blocks_0"]
-                    if site.kind in ("attn1", "attn2"):
-                        p = tb[site.kind]["to_v"]
-                        p["kernel"] = p["kernel"].at[:, ch].multiply(eps)
-                    elif site.kind == "ff":
-                        p = tb["ff"]["act"]["proj"]
-                        ch2 = np.concatenate([ch, site.channels + ch])
-                        p["kernel"] = p["kernel"].at[:, ch2].multiply(eps)
-        return tree
-
-    planted_prunable = float(kept_mask.mean())
-    return jax.jit(damp)(dense_unet), planted_prunable
 
 
 def synth_pool(args, mp_dim, vocab, latent_size):
