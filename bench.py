@@ -88,6 +88,8 @@ def main():
         overrides["use_flash_attention"] = os.environ["DPT_BENCH_FLASH"] == "1"
     if os.environ.get("DPT_BENCH_FUSED_NORMS") == "1":
         overrides["fused_norms"] = True
+    if os.environ.get("DPT_BENCH_FUSED_NC") == "1":
+        overrides["fused_norm_conv"] = True
     cfg = UNetConfig.sd21(resolution=RES, **overrides)
     spec = build_structure(cfg)
     model = GatedUNet(cfg, dtype=jnp.bfloat16)

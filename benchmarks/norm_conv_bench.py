@@ -1,0 +1,89 @@
+"""Microbench: fused GroupNorm(+SiLU)→conv3x3 kernel vs the XLA chain.
+
+Times the resnet norm→conv pair at the SD-2.1 shapes the 256px generation
+workload runs (CFG-doubled batch 16), fused (ops/norm_conv.py) vs unfused
+(GroupNorm fusion + standalone conv HLO). The end-to-end ladder lives in
+bench.py (DPT_BENCH_FUSED_NC=1).
+
+  JAX_PLATFORMS='' python benchmarks/norm_conv_bench.py
+
+Env: DPT_BATCH (16), DPT_RES (256), DPT_ITERS (30).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                               "..", ".jax_cache")))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from diffusion_pruning_tpu.ops.norm_conv import (  # noqa: E402
+    _reference, group_norm_silu_conv3x3)
+
+BATCH = int(os.environ.get("DPT_BATCH", "16"))
+RES = int(os.environ.get("DPT_RES", "256"))
+ITERS = int(os.environ.get("DPT_ITERS", "30"))
+GROUPS = 32
+
+
+def shapes():
+    s = RES // 8
+    # (H, W, C_in, C_out): the resnet norm→conv pairs of the SD-2.1 levels,
+    # incl. the concat-input up-block norm1→conv1 cases
+    return [
+        (s, s, 320, 320),
+        (s, s, 640, 320),        # up level-0 concat
+        (s // 2, s // 2, 640, 640),
+        (s // 2, s // 2, 1280, 640),
+        (s // 4, s // 4, 1280, 1280),
+        (s // 4, s // 4, 2560, 1280),
+        (s // 8, s // 8, 1280, 1280),
+        (s // 8, s // 8, 2560, 1280),
+    ]
+
+
+def time_fn(fn, args, iters):
+    out = fn(*args)
+    float(jnp.sum(out.astype(jnp.float32)))  # force completion (compile)
+    t0 = time.perf_counter()
+    outs = [fn(*args) for _ in range(iters)]
+    for o in outs:
+        float(jnp.sum(o.astype(jnp.float32)))
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    print(f"# norm_conv bench: B={BATCH} res={RES} iters={ITERS}")
+    tot_f = tot_r = 0.0
+    for (h, w, c, cout) in shapes():
+        ks = jax.random.split(key, 5)
+        x = jax.random.normal(ks[0], (BATCH, h, w, c), jnp.bfloat16)
+        scale = jnp.ones((c,), jnp.float32)
+        bias = jnp.zeros((c,), jnp.float32)
+        kern = (0.05 * jax.random.normal(ks[1], (3, 3, c, cout))
+                ).astype(jnp.bfloat16)
+        cb = jnp.zeros((cout,), jnp.float32)
+
+        fused = jax.jit(lambda x, s, b, k, cb: group_norm_silu_conv3x3(
+            x, s, b, k, cb, None, GROUPS, 1e-5, True, False))
+        ref = jax.jit(lambda x, s, b, k, cb: _reference(
+            x, s, b, k, cb, None, GROUPS, 1e-5, True))
+        tr = time_fn(ref, (x, scale, bias, kern, cb), ITERS)
+        tf = time_fn(fused, (x, scale, bias, kern, cb), ITERS)
+        tot_f += tf
+        tot_r += tr
+        print(f"  ({BATCH},{h:3d},{w:3d},{c:4d})->{cout:4d}: "
+              f"xla {tr:7.3f} ms  fused {tf:7.3f} ms  ({tr / tf:.2f}x)")
+    print(f"# totals: xla {tot_r:.2f} ms  fused {tot_f:.2f} ms  "
+          f"({tot_r / tot_f:.2f}x)")
+
+
+if __name__ == "__main__":
+    main()

@@ -70,6 +70,7 @@ class GatedResnetBlock(nn.Module):
     hidden_channels: Optional[int] = None
     hidden_groups: Optional[int] = None
     fused_norms: bool = False
+    fused_norm_conv: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -80,6 +81,20 @@ class GatedResnetBlock(nn.Module):
                           param_dtype=self.param_dtype, name=name)
         return lambda x: nn.silu(gn(x))
 
+    def _fused_norm_conv(self, x, norm_name, conv_name, groups, cout, gate):
+        """norm→SiLU→conv3x3 in one input pass (ops/norm_conv.py); the
+        channel gate (if any) folds into the normalisation affine. The
+        parameter tree matches the unfused nn.GroupNorm + nn.Conv exactly."""
+        from diffusion_pruning_tpu.ops.norm_conv import group_norm_silu_conv3x3
+        from diffusion_pruning_tpu.ops.gates import channel_mask
+        cin = x.shape[-1]
+        s, b = _GNParams(self.param_dtype, name=norm_name)(cin)
+        k, cb = _ConvParams(cout, self.param_dtype, name=conv_name)(cin)
+        gate_c = None if gate is None else channel_mask(gate, cin, x.shape[0])
+        return group_norm_silu_conv3x3(
+            x.astype(self.dtype), s, b, k.astype(self.dtype), cb, gate_c,
+            groups, self.eps, True, jax.default_backend() != "tpu")
+
     @nn.compact
     def __call__(self, x, temb, gate=None, depth_gate=None, identity=None):
         """identity: tensor returned when the depth gate is closed. For
@@ -88,15 +103,23 @@ class GatedResnetBlock(nn.Module):
         cin = x.shape[-1]
         hidden = self.hidden_channels or self.out_channels
         hgroups = self.hidden_groups or self.groups
-        h = self._norm_silu("norm1", self.groups)(x)
-        h = conv3x3(hidden, "conv1", self.dtype, self.param_dtype)(h)
+        if self.fused_norm_conv:
+            h = self._fused_norm_conv(x, "norm1", "conv1", self.groups,
+                                      hidden, None)
+        else:
+            h = self._norm_silu("norm1", self.groups)(x)
+            h = conv3x3(hidden, "conv1", self.dtype, self.param_dtype)(h)
         t = nn.Dense(hidden, dtype=self.dtype, param_dtype=self.param_dtype,
                      name="time_emb_proj")(nn.silu(temb))
         h = h + t[:, None, None, :]
-        if gate is not None:
-            h = channel_gate(h, gate)
-        h = self._norm_silu("norm2", hgroups)(h)
-        h = conv3x3(self.out_channels, "conv2", self.dtype, self.param_dtype)(h)
+        if self.fused_norm_conv:
+            h = self._fused_norm_conv(h, "norm2", "conv2", hgroups,
+                                      self.out_channels, gate)
+        else:
+            if gate is not None:
+                h = channel_gate(h, gate)
+            h = self._norm_silu("norm2", hgroups)(h)
+            h = conv3x3(self.out_channels, "conv2", self.dtype, self.param_dtype)(h)
         shortcut = x
         if cin != self.out_channels:
             shortcut = conv1x1(self.out_channels, "conv_shortcut",
@@ -123,6 +146,7 @@ class GatedTransformer2D(nn.Module):
     active_ff_inner: Optional[int] = None
     use_flash: bool = False
     fused_norms: bool = False
+    fused_norm_conv: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -132,19 +156,30 @@ class GatedTransformer2D(nn.Module):
         slices (each possibly None)."""
         b, h, w, c = x.shape
         residual = x
-        if self.fused_norms:
-            y = FusedGroupNormSiLU(self.groups, 1e-6, False, self.dtype,
-                                   name="norm")(x)
+        if self.fused_norm_conv and self.use_linear_projection:
+            # norm (no SiLU) folded into proj_in's input read
+            from diffusion_pruning_tpu.ops.norm_conv import group_norm_linear
+            s_, b_ = _GNParams(self.param_dtype, name="norm")(c)
+            k_, lb_ = _DenseParams(self.channels, self.param_dtype,
+                                   name="proj_in")(c)
+            y = group_norm_linear(
+                x.reshape(b, h * w, c).astype(self.dtype), s_, b_,
+                k_.astype(self.dtype), lb_, None, self.groups, 1e-6,
+                jax.default_backend() != "tpu")
         else:
-            y = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype,
-                             param_dtype=self.param_dtype, name="norm")(x)
-        y = y.reshape(b, h * w, c)
-        if self.use_linear_projection:
-            y = nn.Dense(self.channels, dtype=self.dtype, param_dtype=self.param_dtype,
-                         name="proj_in")(y)
-        else:
-            y = conv1x1(self.channels, "proj_in", self.dtype, self.param_dtype)(
-                y.reshape(b, h, w, c)).reshape(b, h * w, self.channels)
+            if self.fused_norms:
+                y = FusedGroupNormSiLU(self.groups, 1e-6, False, self.dtype,
+                                       name="norm")(x)
+            else:
+                y = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype,
+                                 param_dtype=self.param_dtype, name="norm")(x)
+            y = y.reshape(b, h * w, c)
+            if self.use_linear_projection:
+                y = nn.Dense(self.channels, dtype=self.dtype, param_dtype=self.param_dtype,
+                             name="proj_in")(y)
+            else:
+                y = conv1x1(self.channels, "proj_in", self.dtype, self.param_dtype)(
+                    y.reshape(b, h, w, c)).reshape(b, h * w, self.channels)
         for i in range(self.num_layers):
             g1, g2, gf = gates[i] if gates is not None else (None, None, None)
             y = GatedTransformerBlock(self.channels, self.heads, self.context_dim,
@@ -232,6 +267,34 @@ def subpixel_upsample_conv(x: jnp.ndarray, kernel: jnp.ndarray,
     out = jnp.stack([jnp.stack([y00, y01], axis=3),
                      jnp.stack([y10, y11], axis=3)], axis=2)
     return out.reshape(b, 2 * h, 2 * w, cout) + bias
+
+
+class _DenseParams(nn.Module):
+    """Parameter-only holder matching nn.Dense's `kernel`/`bias` tree."""
+    features: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_features, self.features), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          self.param_dtype)
+        return kernel, bias
+
+
+class _GNParams(nn.Module):
+    """Parameter-only holder matching nn.GroupNorm's `scale`/`bias` tree, so
+    the fused norm→conv path keeps the exact checkpoint layout."""
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, channels: int):
+        scale = self.param("scale", nn.initializers.ones, (channels,),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (channels,),
+                          self.param_dtype)
+        return scale, bias
 
 
 class _ConvParams(nn.Module):

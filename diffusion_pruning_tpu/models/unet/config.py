@@ -80,6 +80,9 @@ class UNetConfig:
     # one-pass Pallas GroupNorm+SiLU (ops/group_norm.py) — normalization
     # reductions are ~34% of the XLA forward (see PERFORMANCE.md)
     fused_norms: bool = False
+    # fuse resnet GroupNorm(+gate)+SiLU into the consumer conv3x3's input
+    # read (ops/norm_conv.py): 2 HBM passes instead of 4 per norm→conv pair
+    fused_norm_conv: bool = False
 
     @property
     def num_levels(self) -> int:

@@ -130,6 +130,7 @@ class GatedUNet(nn.Module):
                 hidden, hgroups = len(keep.kept) * unit, len(keep.kept)
             return _resnet_cls(cout, cfg.norm_num_groups, cfg.norm_eps,
                                hidden, hgroups, cfg.fused_norms,
+                               cfg.fused_norm_conv,
                                self.dtype, self.param_dtype, name=name)
 
         def transformer(c, heads, name, sb_name):
@@ -144,7 +145,8 @@ class GatedUNet(nn.Module):
             return _transformer_cls(c, heads, cfg.cross_attention_dim, 1,
                                     cfg.norm_num_groups, cfg.use_linear_projection,
                                     h1, h2, ffi, cfg.use_flash_attention,
-                                    cfg.fused_norms, self.dtype, self.param_dtype,
+                                    cfg.fused_norms, cfg.fused_norm_conv,
+                                    self.dtype, self.param_dtype,
                                     name=name)
 
         def is_dropped(sb_name):
@@ -229,11 +231,23 @@ class GatedUNet(nn.Module):
             features[f"u{i}"] = h
 
         # --- out ---
-        h = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=cfg.norm_eps,
-                         dtype=self.dtype, param_dtype=self.param_dtype,
-                         name="conv_norm_out")(h)
-        h = nn.silu(h)
-        out = conv3x3(cfg.out_channels, "conv_out", self.dtype, self.param_dtype)(h)
+        if cfg.fused_norm_conv:
+            from diffusion_pruning_tpu.models.unet.blocks import (
+                _ConvParams, _GNParams)
+            from diffusion_pruning_tpu.ops.norm_conv import group_norm_silu_conv3x3
+            s_, b_ = _GNParams(self.param_dtype, name="conv_norm_out")(h.shape[-1])
+            k_, cb_ = _ConvParams(cfg.out_channels, self.param_dtype,
+                                  name="conv_out")(h.shape[-1])
+            out = group_norm_silu_conv3x3(
+                h.astype(self.dtype), s_, b_, k_.astype(self.dtype), cb_, None,
+                cfg.norm_num_groups, cfg.norm_eps, True,
+                jax.default_backend() != "tpu")
+        else:
+            h = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=cfg.norm_eps,
+                             dtype=self.dtype, param_dtype=self.param_dtype,
+                             name="conv_norm_out")(h)
+            h = nn.silu(h)
+            out = conv3x3(cfg.out_channels, "conv_out", self.dtype, self.param_dtype)(h)
         if return_features:
             return out, features
         return out

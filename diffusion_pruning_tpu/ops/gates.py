@@ -29,18 +29,23 @@ def match_batch(gate: jax.Array, batch: int) -> jax.Array:
     return jnp.tile(gate, (batch // gate.shape[0],) + (1,) * (gate.ndim - 1))
 
 
+def channel_mask(gate: jax.Array, c: int, batch: int) -> jax.Array:
+    """Expand a grouped gate to a per-channel (batch, C) mask.
+
+    Gate unit g covers the contiguous channel slab [g*C/width, (g+1)*C/width)
+    — aligned with GroupNorm groups, exactly like the reference's
+    repeat_interleave (gates.py:16, 50). CFG batch tiling included."""
+    width = gate.shape[-1]
+    mask = jnp.repeat(gate, c // width, axis=-1)  # (B, C)
+    return match_batch(mask, batch)
+
+
 def channel_gate(x: jax.Array, gate: jax.Array) -> jax.Array:
     """Mask the trailing channel dim of x with a grouped gate.
 
-    x: (..., C); gate: (B, width) with C % width == 0. Gate unit g covers the
-    contiguous channel slab [g*C/width, (g+1)*C/width) — aligned with
-    GroupNorm groups, exactly like the reference's repeat_interleave
-    (gates.py:16, 50).
-    """
+    x: (..., C); gate: (B, width) with C % width == 0."""
     c = x.shape[-1]
-    width = gate.shape[-1]
-    mask = jnp.repeat(gate, c // width, axis=-1)  # (B, C)
-    mask = match_batch(mask, x.shape[0])
+    mask = channel_mask(gate, c, x.shape[0])
     return x * mask.reshape(mask.shape[0], *([1] * (x.ndim - 2)), c).astype(x.dtype)
 
 

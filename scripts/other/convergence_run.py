@@ -40,6 +40,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# The axon registration hook overrides the JAX_PLATFORMS env var by setting
+# jax.config programmatically at interpreter start; re-assert the env choice
+# via config.update so `JAX_PLATFORMS=cpu <script>` really runs on CPU
+# (observed: without this, a CPU smoke claims the remote TPU and hangs for
+# the tunnel when it is wedged).
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 jax.config.update("jax_compilation_cache_dir",
                   os.path.abspath(os.path.join(os.path.dirname(__file__),
                                                "..", "..", ".jax_cache")))
