@@ -27,6 +27,7 @@ RES = int(os.environ.get("DPT_RES", "256"))
 BATCH = int(os.environ.get("DPT_BATCH", "128"))
 FLASH = os.environ.get("DPT_FLASH", "1") == "1"
 REMAT = os.environ.get("DPT_REMAT", "0") == "1"
+FUSED_NC = os.environ.get("DPT_FUSED_NC", "0") == "1"
 KEEP = float(os.environ.get("DPT_KEEP", "0.6"))
 
 
@@ -49,7 +50,8 @@ def main():
     )
     from diffusion_pruning_tpu.utils.init_utils import random_params_like, shape_tree
 
-    ucfg = UNetConfig.sd21(resolution=RES, use_flash_attention=FLASH, remat=REMAT)
+    ucfg = UNetConfig.sd21(resolution=RES, use_flash_attention=FLASH, remat=REMAT,
+                           fused_norm_conv=FUSED_NC)
     spec = build_structure(ucfg)
 
     # a realistic expert: random gates at the KEEP point, depth gates kept

@@ -28,6 +28,7 @@ BATCH = int(os.environ.get("DPT_BATCH", "64"))
 FLASH = os.environ.get("DPT_FLASH", "1") == "1"
 LATENT_CACHE = os.environ.get("DPT_LATENT_CACHE", "1") == "1"
 REMAT = os.environ.get("DPT_REMAT", "0") == "1"
+FUSED_NC = os.environ.get("DPT_FUSED_NC", "0") == "1"
 
 
 def log(m):
@@ -47,7 +48,8 @@ def main():
     from diffusion_pruning_tpu.training.pruner import make_optimizer
     from diffusion_pruning_tpu.utils.init_utils import random_params_like, shape_tree
 
-    ucfg = UNetConfig.sd21(resolution=RES, use_flash_attention=FLASH, remat=REMAT)
+    ucfg = UNetConfig.sd21(resolution=RES, use_flash_attention=FLASH, remat=REMAT,
+                           fused_norm_conv=FUSED_NC)
     tcfg = CLIPTextConfig.sd21()
     vcfg = VAEConfig.sd()
     spec = build_structure(ucfg)

@@ -68,22 +68,30 @@ def _affine_coeffs(x, scale, bias, groups, eps, gate_c):
     return a, b
 
 
-def _pick_cout_tile(h, w, c, cout, esize):
-    """Largest C_out tile that fits the VMEM budget (None = infeasible).
+def _pick_tiles(h, w, c, cout, esize):
+    """(row_tile, cout_tile) fitting the VMEM budget, or None.
 
-    Tiles must divide C_out and be lane-aligned (multiple of 128) unless
-    they cover the whole dim."""
-    hw = h * w
-    fixed = hw * c * esize + 2 * (h + 2) * w * c * esize
-    for n in (1, 2, 4, 5, 8, 10, 16, 20):
-        if cout % n:
+    Prefers whole-image row tiles (single x operand); falls back to H-tiling
+    with a 3-block halo read (x passed thrice with clamped row index maps —
+    the 512px level-0 maps need this). C_out tiles must divide C_out and be
+    lane-aligned (multiple of 128) unless they cover the whole dim.
+    Pipelined operand blocks (x, weights, out) count twice — Mosaic
+    double-buffers them; the ypad scratch + its shifted copy are single."""
+    for th in (h, 32, 16, 8):
+        if th > h or h % th:
             continue
-        t = cout // n
-        if t != cout and t % 128 != 0:
-            continue
-        vm = fixed + 9 * c * t * esize + hw * t * 4 + hw * t * esize
-        if vm <= _VMEM_BUDGET:
-            return t
+        n_x = 2 if th == h else 6  # halo variant reads x via 3 specs
+        fixed = n_x * th * w * c * esize + 2 * (th + 2) * w * c * esize
+        for n in (1, 2, 4, 5, 8, 10, 16, 20):
+            if cout % n:
+                continue
+            t = cout // n
+            if t != cout and t % 128 != 0:
+                continue
+            vm = fixed + 2 * 9 * c * t * esize + th * w * t * 4 \
+                + 2 * th * w * t * esize
+            if vm <= _VMEM_BUDGET:
+                return th, t
     return None
 
 
@@ -127,35 +135,110 @@ def _nc_kernel(x_ref, a_ref, b_ref, w_ref, cb_ref, o_ref, ypad_ref, *,
                 ).reshape(H, W, TC).astype(o_ref.dtype)
 
 
+def _nc_kernel_ht(xp_ref, xc_ref, xn_ref, a_ref, b_ref, w_ref, cb_ref, o_ref,
+                  ypad_ref, *, TH: int, W: int, NR: int, silu: bool):
+    """H-tiled variant: the halo rows come from neighbour row-blocks (x is
+    passed three times with clamped row index maps). Image-edge halo rows
+    are zeroed in y-space, matching conv zero padding."""
+    C = xc_ref.shape[-1]
+    TC = o_ref.shape[-1]
+    cdtype = ypad_ref.dtype
+
+    # hoisted: program_id has no lowering inside a pl.when body on the
+    # CPU interpreter (hlo_interpreter cond branches)
+    r = pl.program_id(1)
+
+    @pl.when(pl.program_id(2) == 0)
+    def _build():
+        a = a_ref[0][None, None, :]
+        b = b_ref[0][None, None, :]
+
+        def norm(v):
+            y = a * v.astype(jnp.float32) + b
+            return y * jax.nn.sigmoid(y) if silu else y
+
+        ypad_ref[pl.ds(1, TH)] = norm(xc_ref[0]).astype(cdtype)
+        zero = jnp.zeros((1, W, C), jnp.float32)
+        top = jnp.where(r > 0, norm(xp_ref[0, TH - 1: TH]), zero)
+        bot = jnp.where(r < NR - 1, norm(xn_ref[0, 0:1]), zero)
+        ypad_ref[0:1] = top.astype(cdtype)
+        ypad_ref[TH + 1: TH + 2] = bot.astype(cdtype)
+
+    yp = ypad_ref[:]
+    zcol = jnp.zeros((TH + 2, 1, C), cdtype)
+    acc = jnp.zeros((TH * W, TC), jnp.float32)
+    for dw in range(3):
+        if dw == 0:
+            v = jnp.concatenate([zcol, yp[:, : W - 1]], axis=1)
+        elif dw == 1:
+            v = yp
+        else:
+            v = jnp.concatenate([yp[:, 1:], zcol], axis=1)
+        vf = v.reshape((TH + 2) * W, C)
+        for dh in range(3):
+            acc = acc + jax.lax.dot_general(
+                vf[dh * W: dh * W + TH * W], w_ref[3 * dh + dw],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    o_ref[0] = (acc + cb_ref[0][None, :].astype(jnp.float32)
+                ).reshape(TH, W, TC).astype(o_ref.dtype)
+
+
 def _forward(x, scale, bias, kernel, conv_bias, gate_c, groups, eps, silu,
              interpret):
     b, h, w, c = x.shape
     cout = kernel.shape[-1]
-    tc = _pick_cout_tile(h, w, c, cout, x.dtype.itemsize)
-    if tc is None:  # does not fit VMEM (e.g. 512px level-0 at huge C_out)
+    tiles = _pick_tiles(h, w, c, cout, x.dtype.itemsize)
+    if tiles is None:  # does not fit VMEM even H-tiled (huge C_in cases)
         return _reference(x, scale, bias, kernel, conv_bias, gate_c, groups,
                           eps, silu)
+    th, tc = tiles
     a, bb = _affine_coeffs(x, scale, bias, groups, eps, gate_c)
     wk = kernel.reshape(9, c, cout).astype(x.dtype)
-    out = pl.pallas_call(
-        functools.partial(_nc_kernel, H=h, W=w, silu=silu),
-        grid=(b, cout // tc),
-        in_specs=[
-            pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, c, tc), lambda i, j: (0, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, h, w, tc), lambda i, j: (i, 0, 0, j),
-                               memory_space=pltpu.VMEM),
+    cb = conv_bias.reshape(1, cout)
+    common = dict(
         out_shape=jax.ShapeDtypeStruct((b, h, w, cout), x.dtype),
-        scratch_shapes=[pltpu.VMEM((h + 2, w, c), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((th + 2, w, c), x.dtype)],
         interpret=interpret,
-    )(x, a, bb, wk, conv_bias.reshape(1, cout))
-    return out
+    )
+    if th == h:
+        return pl.pallas_call(
+            functools.partial(_nc_kernel, H=h, W=w, silu=silu),
+            grid=(b, cout // tc),
+            in_specs=[
+                pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((9, c, tc), lambda i, j: (0, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, h, w, tc), lambda i, j: (i, 0, 0, j),
+                                   memory_space=pltpu.VMEM),
+            **common,
+        )(x, a, bb, wk, cb)
+    nr = h // th
+    xspec = lambda rmap: pl.BlockSpec(  # noqa: E731
+        (1, th, w, c), lambda i, r, j, _m=rmap: (i, _m(r), 0, 0),
+        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_nc_kernel_ht, TH=th, W=w, NR=nr, silu=silu),
+        grid=(b, nr, cout // tc),
+        in_specs=[
+            xspec(lambda r: jnp.maximum(r - 1, 0)),
+            xspec(lambda r: r),
+            xspec(lambda r: jnp.minimum(r + 1, nr - 1)),
+            pl.BlockSpec((1, c), lambda i, r, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, r, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, c, tc), lambda i, r, j: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tc), lambda i, r, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, th, w, tc), lambda i, r, j: (i, r, 0, j),
+                               memory_space=pltpu.VMEM),
+        **common,
+    )(x, x, x, a, bb, wk, cb)
 
 
 def _reference(x, scale, bias, kernel, conv_bias, gate_c, groups, eps, silu):
@@ -212,9 +295,9 @@ def _linear_forward(x, scale, bias, kernel, lbias, gate_c, groups, eps,
     b, s, c = x.shape
     cout = kernel.shape[-1]
     esize = x.dtype.itemsize
-    vm = (2 * s * c * esize          # x block + normalised copy
-          + c * cout * esize         # weights
-          + s * cout * (4 + esize))  # f32 accumulator + out block
+    vm = (3 * s * c * esize              # x block (×2 pipelined) + norm copy
+          + c * cout * esize             # weights (index constant — 1×)
+          + s * cout * (4 + 2 * esize))  # f32 accumulator + out block ×2
     if vm > _VMEM_BUDGET:
         return _linear_reference(x, scale, bias, kernel, lbias, gate_c,
                                  groups, eps)

@@ -230,7 +230,14 @@ def _compute_losses(
     mean_ratio = ratios.mean()
     r_loss = resource_loss(mean_ratio, p_actual, cfg.resource_type)
     max_loss = 1.0 - jnp.max(ratios)
-    std_loss = -jnp.std(ratios)
+    # eps-guarded std: torch.std/jnp.std have a NaN gradient at exactly-zero
+    # variance, which REALLY occurs whenever every sample in a local batch
+    # routes to the same expert (identical arch rows → identical ratios).
+    # The reference's loss-only NaN check (trainer.py:921-929) would let that
+    # poison params via DDP; our grad-norm skip caught it but silently
+    # dropped the update. sqrt(var + 1e-12) keeps the value within 1e-6 and
+    # the gradient finite (→ 0 at the degenerate point).
+    std_loss = -jnp.sqrt(ratios.var() + 1e-12)
 
     total = (cfg.diffusion_weight * d_loss
              + cfg.resource_weight * r_loss

@@ -47,10 +47,14 @@ import jax.numpy as jnp
 # the tunnel when it is wedged).
 if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.abspath(os.path.join(os.path.dirname(__file__),
-                                               "..", "..", ".jax_cache")))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if os.environ.get("JAX_PLATFORMS") != "cpu":
+    # TPU backend only: .jax_cache holds remotely-compiled executables;
+    # XLA:CPU AOT results from a different machine load with feature
+    # mismatches and can SIGILL (CLAUDE.md) — CPU smokes compile fresh.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                                   "..", "..", ".jax_cache")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def log(m):

@@ -7,6 +7,13 @@ balanced codebook must keep every expert in use. Mirrors the reference
 training behaviour (/root/reference/pdm/training/trainer.py:852-1024) at
 miniature scale; the full-schedule on-chip evidence lives in
 runs/convergence_s1 (scripts/other/convergence_run.py).
+
+Uses the synthetic-validation recipe that run established
+(utils/synthetic.py): random weights have no redundancy, so the codebook
+parks at ratio ~1.0 — plant eps-damped gate slabs (genuinely-cheap pruning
+directions) and use the dense teacher's prediction as the diffusion target
+(a frozen random U-Net cannot denoise; the raw eps/v target is gradient
+noise that drowns the resource signal).
 """
 import numpy as np
 import jax
@@ -23,6 +30,7 @@ from diffusion_pruning_tpu.models.vae import AutoencoderKL, VAEConfig
 from diffusion_pruning_tpu.schedulers import DiffusionSchedule
 from diffusion_pruning_tpu.training import PrunerConfig, PrunerModules, make_pruner_step
 from diffusion_pruning_tpu.training.pruner import make_optimizer
+from diffusion_pruning_tpu.utils.synthetic import plant_redundancy
 
 STEPS = 250
 BATCH = 8
@@ -50,11 +58,22 @@ def test_resource_ratio_converges_to_target():
         "vae": {},
         "text": mods.text_encoder.init(rng, jnp.zeros((1, 77), jnp.int32))["params"],
     }
+    frozen["unet"], planted = plant_redundancy(spec, frozen["unet"],
+                                               keep=0.5, seed=5)
     trainable = {
         "hypernet": mods.hypernet.init(rng, jnp.zeros((1, MP_DIM)))["params"],
         "quantizer": mods.quantizer.init_params(rng),
     }
-    cfg = PrunerConfig(pruning_target=0.6, lr_warmup_steps=10, scale_lr=False)
+    # Router LRs compressed ~20x: with reference LRs even the full 5k-step
+    # on-chip run sits parked at ratio~1.0 for its first ~2500 steps (Adam
+    # must desaturate the base=3.0 gumbel-sigmoid logits before the resource
+    # loss can move the codebook — runs/convergence_s1/metrics.jsonl). The
+    # boosted LRs reproduce the same park→descend→hold trajectory inside
+    # 250 steps (descends through ~0.7 near step 120, holds 0.46-0.59
+    # around p_actual=0.547 thereafter).
+    cfg = PrunerConfig(pruning_target=0.6, lr_warmup_steps=10, scale_lr=False,
+                       self_distill_target=True,
+                       hypernet_lr=1e-3, quantizer_lr=4e-2)
     p_actual = mods.resource_model.actual_pruning_target(0.6)
     opt = make_optimizer(cfg, global_batch=BATCH)
     step = make_pruner_step(mods, cfg, opt, mesh=None, pretrain=False, donate=True)

@@ -91,6 +91,22 @@ def test_gradients_match_reference():
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_h_tiled_path_parity(monkeypatch):
+    """Force the halo-read H-tiled kernel (the 512px level-0 path) and pin
+    it against the reference — covers the clamped row index maps and the
+    y-space zeroing of image-edge halo rows."""
+    import diffusion_pruning_tpu.ops.norm_conv as nc
+    b, h, w, c, cout, groups = 2, 32, 8, 16, 16, 4
+    x, scale, bias, kernel, cbias = _args(5, b, h, w, c, cout, jnp.float32)
+    gate_c = jax.nn.sigmoid(_rand(jax.random.PRNGKey(13), b, c))
+    monkeypatch.setattr(nc, "_pick_tiles", lambda *a: (8, cout))
+    out = nc.group_norm_silu_conv3x3(x, scale, bias, kernel, cbias, gate_c,
+                                     groups, 1e-5, True, True)
+    ref = _reference(x, scale, bias, kernel, cbias, gate_c, groups, 1e-5, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_group_norm_linear_matches_reference():
     from diffusion_pruning_tpu.ops.norm_conv import (_linear_reference,
                                                      group_norm_linear)
