@@ -84,6 +84,26 @@ def main():
     print(f"# totals: xla {tot_r:.2f} ms  fused {tot_f:.2f} ms  "
           f"({tot_r / tot_f:.2f}x)")
 
+    # transformer norm→proj_in (1×1 / Dense) variant
+    from diffusion_pruning_tpu.ops.norm_conv import (
+        _linear_reference, group_norm_linear)
+    s = RES // 8
+    for (hw, c) in [(s * s, 320), (s * s // 4, 640), (s * s // 16, 1280)]:
+        ks = jax.random.split(jax.random.PRNGKey(1), 2)
+        x = jax.random.normal(ks[0], (BATCH, hw, c), jnp.bfloat16)
+        kern = (0.05 * jax.random.normal(ks[1], (c, c))).astype(jnp.bfloat16)
+        scale = jnp.ones((c,), jnp.float32)
+        bias = jnp.zeros((c,), jnp.float32)
+        lb = jnp.zeros((c,), jnp.float32)
+        fused = jax.jit(lambda x, s_, b, k, lb: group_norm_linear(
+            x, s_, b, k, lb, None, GROUPS, 1e-6, False))
+        ref = jax.jit(lambda x, s_, b, k, lb: _linear_reference(
+            x, s_, b, k, lb, None, GROUPS, 1e-6))
+        tr = time_fn(ref, (x, scale, bias, kern, lb), ITERS)
+        tf = time_fn(fused, (x, scale, bias, kern, lb), ITERS)
+        print(f"  linear ({BATCH},{hw:5d},{c:4d}): "
+              f"xla {tr:7.3f} ms  fused {tf:7.3f} ms  ({tr / tf:.2f}x)")
+
 
 if __name__ == "__main__":
     main()
