@@ -164,6 +164,31 @@ def test_unet_fused_flag_parity():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_fused_block_grads_under_remat():
+    """remat(GatedResnetBlock) with fused_norm_conv must produce the same
+    parameter gradients as the unfused block — the stage-1/2 remat training
+    path composes nn.remat around the custom_vjp kernels."""
+    from flax import linen as nn
+    from diffusion_pruning_tpu.models.unet.blocks import GatedResnetBlock
+    b, h, w, cin, cout, groups = 2, 6, 6, 16, 24, 4
+    x = _rand(jax.random.PRNGKey(4), b, h, w, cin)
+    temb = _rand(jax.random.PRNGKey(5), b, 32)
+    gate = jax.nn.sigmoid(_rand(jax.random.PRNGKey(6), b, groups))
+    dense = GatedResnetBlock(cout, groups)
+    fused_r = nn.remat(GatedResnetBlock, static_argnums=())(
+        cout, groups, fused_norm_conv=True)
+    params = dense.init(jax.random.PRNGKey(8), x, temb, gate)["params"]
+
+    def loss(mod, p):
+        return jnp.sum(mod.apply({"params": p}, x, temb, gate) ** 2)
+
+    gd = jax.grad(lambda p: loss(dense, p))(params)
+    gf = jax.grad(lambda p: loss(fused_r, p))(params)
+    assert jax.tree.structure(gd) == jax.tree.structure(gf)
+    jax.tree.map(lambda a, r: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(r), rtol=5e-4, atol=5e-4), gf, gd)
+
+
 def test_resnet_block_fused_flag_parity():
     """GatedResnetBlock(fused_norm_conv=True) ≡ unfused with the SAME params
     (the fused path keeps nn.GroupNorm/nn.Conv parameter trees)."""
