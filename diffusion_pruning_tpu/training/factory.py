@@ -49,6 +49,12 @@ def unet_config_from_yaml(cfg, tiny: bool = False) -> UNetConfig:
         up_block_types=tuple(u.get("unet_up_blocks")),
         gated_ff=u.get("gated_ff", True),
         ff_gate_width=u.get("ff_gate_width", 32),
+        # reference schema: training.gradient_checkpointing (trainer.py:144-160)
+        # maps to per-subblock rematerialisation
+        remat=bool(cfg.get_path("training.gradient_checkpointing", False)),
+        # TPU extensions (default flash ON at SD scale — PERFORMANCE.md)
+        use_flash_attention=u.get("use_flash_attention", True),
+        fused_norm_conv=u.get("fused_norm_conv", False),
     )
 
 
