@@ -21,6 +21,7 @@ import json
 import os
 import sys
 import time
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -55,17 +56,26 @@ STEPS = 25
 RES = int(os.environ.get("DPT_BENCH_RES", "256"))
 
 
-def _require_device(timeout_s: int = 300) -> None:
-    """Fail fast with a well-formed JSON line when the device can't init.
+def _require_device(timeout_s: Optional[int] = None) -> None:
+    """Fail with a well-formed JSON line when the device can't init.
 
     The remote-TPU tunnel can wedge (observed: a serving process SIGTERM'd
     mid-claim left every later jax.devices() hanging for hours) — without
-    this guard the bench would hang the driver instead of reporting."""
+    this guard the bench would hang the driver instead of reporting. The
+    probe thread keeps waiting for the whole window (DPT_BENCH_DEVICE_WAIT,
+    default 600 s): a late recovery still yields a measurement instead of
+    an error line."""
     import threading
+    if timeout_s is None:
+        timeout_s = int(os.environ.get("DPT_BENCH_DEVICE_WAIT", "600"))
     ok: list = []
     t = threading.Thread(target=lambda: ok.append(jax.devices()), daemon=True)
     t.start()
-    t.join(timeout_s)
+    deadline = time.monotonic() + timeout_s
+    while not ok and time.monotonic() < deadline:
+        t.join(15)
+        if not ok:
+            _log(f"waiting for device init ({int(deadline - time.monotonic())}s left)")
     if not ok:
         print(json.dumps({
             "metric": f"ddim25_cfg_images_per_sec_per_chip_{RES}px",
