@@ -60,6 +60,66 @@ def global_batch_arrays(res, vocab, b=8):
     }
 
 
+def build_tiny_finetuner():
+    """Tiny stage-2 setup: one materialised expert (pretrained slices of a
+    dense tiny U-Net) + the dense teacher, deterministic on every process."""
+    from diffusion_pruning_tpu.core import build_structure
+    from diffusion_pruning_tpu.models.text_encoders import CLIPTextConfig, CLIPTextEncoder
+    from diffusion_pruning_tpu.models.unet.config import UNetConfig
+    from diffusion_pruning_tpu.models.unet.pruned import (make_expert_plan,
+                                                          slice_expert_params)
+    from diffusion_pruning_tpu.models.unet.unet import GatedUNet
+    from diffusion_pruning_tpu.models.vae import AutoencoderKL, VAEConfig
+    from diffusion_pruning_tpu.schedulers import DiffusionSchedule
+    from diffusion_pruning_tpu.training.finetuner import (
+        FineTuneConfig, FineTunerModules, make_finetune_optimizer)
+
+    rng = jax.random.PRNGKey(0)
+    ucfg = UNetConfig.tiny(cross_attention_dim=32)
+    tcfg = CLIPTextConfig.tiny()
+    spec = build_structure(ucfg)
+    teacher = GatedUNet(ucfg)
+    dense = teacher.init_params(rng, batch=1)
+    code = (jax.random.uniform(jax.random.PRNGKey(7), (spec.vq_dim,)) < 0.6
+            ).astype(jnp.float32).at[spec.num_width:].set(1.0)
+    plan = make_expert_plan(spec, np.asarray(code))
+    student = GatedUNet(ucfg, plan=plan)
+    sparams = slice_expert_params(dense, plan)
+    vcfg = VAEConfig.tiny()
+    mods = FineTunerModules(
+        student=student, teacher=teacher, vae=AutoencoderKL(vcfg),
+        text_encoder=CLIPTextEncoder(tcfg), schedule=DiffusionSchedule())
+    res = ucfg.sample_size * 8
+    frozen = {
+        "teacher": dense,
+        "vae": mods.vae.init(rng, jnp.zeros((1, res, res, 3)), rng)["params"],
+        "text": mods.text_encoder.init(rng, jnp.zeros((1, 77), jnp.int32))["params"],
+    }
+    cfg = FineTuneConfig(lr_warmup_steps=0, scale_lr=False)
+    opt = make_finetune_optimizer(cfg, global_batch=8)
+    return mods, cfg, opt, frozen, sparams, tcfg, res
+
+
+def run_one_finetune_step(mesh, place_batch):
+    """Build the tiny stage-2 setup, run ONE finetune step over `mesh`,
+    return metrics + updated-student fingerprint."""
+    from diffusion_pruning_tpu.training.finetuner import make_finetune_step
+
+    mods, cfg, opt, frozen, sparams, tcfg, res = build_tiny_finetuner()
+    step = make_finetune_step(mods, cfg, opt, mesh=mesh)
+    opt_state = opt.init(sparams)
+    arrs = global_batch_arrays(res, tcfg.vocab_size)
+    batch = {k: place_batch(v) for k, v in arrs.items()
+             if k in ("pixel_values", "input_ids")}
+    new_p, _, metrics = step(sparams, frozen, opt_state, batch,
+                             jax.random.PRNGKey(2))
+    out = {k: float(v) for k, v in metrics.items()}
+    flat = jnp.concatenate([jnp.ravel(l).astype(jnp.float32)
+                            for l in jax.tree.leaves(new_p)])
+    out["student_l2"] = float(jnp.linalg.norm(flat))
+    return out
+
+
 def run_one_step(mesh, place_batch):
     """Build models, run ONE full pruner step over `mesh`, return metrics."""
     from diffusion_pruning_tpu.training import make_pruner_step
