@@ -100,14 +100,23 @@ def build_tiny_finetuner():
     return mods, cfg, opt, frozen, sparams, tcfg, res
 
 
-def run_one_finetune_step(mesh, place_batch):
+def run_one_finetune_step(mesh, place_batch, zero1=False):
     """Build the tiny stage-2 setup, run ONE finetune step over `mesh`,
-    return metrics + updated-student fingerprint."""
-    from diffusion_pruning_tpu.training.finetuner import make_finetune_step
+    return metrics + updated-student fingerprint. zero1=True runs the
+    sharded-moment step (optimizer state physically split over the mesh —
+    across PROCESSES in the 2-process smoke)."""
+    from diffusion_pruning_tpu.training.finetuner import (
+        make_finetune_optimizer, make_finetune_step)
 
     mods, cfg, opt, frozen, sparams, tcfg, res = build_tiny_finetuner()
-    step = make_finetune_step(mods, cfg, opt, mesh=mesh)
-    opt_state = opt.init(sparams)
+    if zero1:
+        from diffusion_pruning_tpu.parallel.zero1 import init_global_opt_state
+        opt = make_finetune_optimizer(cfg, global_batch=8, elementwise=True)
+        step = make_finetune_step(mods, cfg, opt, mesh=mesh, zero1=True)
+        opt_state = init_global_opt_state(opt, sparams, mesh)
+    else:
+        step = make_finetune_step(mods, cfg, opt, mesh=mesh)
+        opt_state = opt.init(sparams)
     arrs = global_batch_arrays(res, tcfg.vocab_size)
     batch = {k: place_batch(v) for k, v in arrs.items()
              if k in ("pixel_values", "input_ids")}

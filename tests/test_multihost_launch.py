@@ -189,13 +189,14 @@ sharding = NamedSharding(mesh, P("data"))
 def place(x):
     return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
 
-m = C.run_one_finetune_step(mesh, place)
+m = C.run_one_finetune_step(mesh, place, zero1=__ZERO1__)
 print("METRICS " + json.dumps(m), flush=True)
 """
 
 
 @pytest.mark.slow
-def test_two_process_finetune_step(tmp_path):
+@pytest.mark.parametrize("zero1", [False, True], ids=["plain", "zero1"])
+def test_two_process_finetune_step(tmp_path, zero1):
     """One stage-2 expert fine-tune step (teacher distillation + grad pmean
     + AdamW on a materialised pruned expert) across two localhost processes
     × 4 virtual devices, compared against the single-process 8-device
@@ -209,14 +210,15 @@ def test_two_process_finetune_step(tmp_path):
 
     mesh = data_mesh()
     base = C.run_one_finetune_step(
-        mesh, lambda x: shard_batch(mesh, {"x": x})["x"])
+        mesh, lambda x: shard_batch(mesh, {"x": x})["x"], zero1=zero1)
 
     repo = os.path.join(os.path.dirname(__file__), "..")
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
     script = tmp_path / "ft_worker.py"
-    script.write_text(_FT_WORKER.replace("__REPO__", os.path.abspath(repo)))
+    script.write_text(_FT_WORKER.replace("__REPO__", os.path.abspath(repo))
+                      .replace("__ZERO1__", str(zero1)))
 
     procs = []
     for pid in range(2):
