@@ -129,6 +129,40 @@ def run_one_finetune_step(mesh, place_batch, zero1=False):
     return out
 
 
+def run_one_finetune_step_gspmd(mesh2d, place_batch):
+    """ONE dp×tp GSPMD finetune step over a 2-D mesh (may span processes).
+
+    Params get the Megatron specs (parallel/tp.py) — over a 2-process mesh
+    the dp axis crosses the process boundary and tp stays process-local;
+    everything else is placed replicated (device_put to a global sharding)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from diffusion_pruning_tpu.parallel.tp import shard_params as tp_shard
+    from diffusion_pruning_tpu.training.finetuner import make_finetune_step_gspmd
+
+    mods, cfg, opt, frozen, sparams, tcfg, res = build_tiny_finetuner()
+    rep = NamedSharding(mesh2d, P())
+
+    def put(tree):
+        return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), rep), tree)
+
+    sparams = tp_shard(mesh2d, sparams)
+    frozen = {"teacher": tp_shard(mesh2d, frozen["teacher"]),
+              "vae": put(frozen["vae"]), "text": put(frozen["text"])}
+    opt_state = opt.init(sparams)
+    step = make_finetune_step_gspmd(mods, cfg, opt, mesh2d)
+    arrs = global_batch_arrays(res, tcfg.vocab_size)
+    batch = {k: place_batch(v) for k, v in arrs.items()
+             if k in ("pixel_values", "input_ids")}
+    key = jax.device_put(jax.random.PRNGKey(2), rep)
+    new_p, _, metrics = step(sparams, frozen, opt_state, batch, key)
+    out = {k: float(v) for k, v in metrics.items()}
+    out["student_l2"] = float(jax.jit(
+        lambda t: jnp.linalg.norm(jnp.concatenate(
+            [jnp.ravel(l).astype(jnp.float32) for l in jax.tree.leaves(t)]))
+    )(new_p))
+    return out
+
+
 def run_one_step(mesh, place_batch):
     """Build models, run ONE full pruner step over `mesh`, return metrics."""
     from diffusion_pruning_tpu.training import make_pruner_step

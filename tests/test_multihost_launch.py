@@ -247,3 +247,85 @@ def test_two_process_finetune_step(tmp_path, zero1):
         for k, v in base.items():
             assert abs(m[k] - v) <= 5e-4 * max(abs(v), 1.0), (
                 f"proc {pid} metric {k}: {m[k]} vs baseline {v}")
+
+
+_GSPMD_WORKER = r"""
+import json
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+import sys
+sys.path.insert(0, "__REPO__")
+sys.path.insert(0, "__REPO__/tests")
+from diffusion_pruning_tpu.utils.launch import init_distributed
+
+init_distributed()
+assert jax.process_count() == 2 and jax.device_count() == 8
+
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+import _multiproc_common as C
+from diffusion_pruning_tpu.parallel.tp import DATA_AXIS, dp_tp_mesh
+
+mesh = dp_tp_mesh(2, 4)  # dp crosses the process boundary, tp process-local
+sharding = NamedSharding(mesh, P(DATA_AXIS))
+
+def place(x):
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+m = C.run_one_finetune_step_gspmd(mesh, place)
+print("METRICS " + json.dumps(m), flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_gspmd_finetune_step(tmp_path):
+    """The dp×tp GSPMD fine-tune step across two processes: a 2×4 mesh whose
+    data axis crosses the process boundary (tp collectives stay local),
+    compared against the same mesh shape in one process — multi-host GSPMD
+    jit with Megatron param specs exercised for real."""
+    import json
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    import _multiproc_common as C
+    from diffusion_pruning_tpu.parallel.tp import DATA_AXIS, dp_tp_mesh
+
+    mesh = dp_tp_mesh(2, 4)
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    base = C.run_one_finetune_step_gspmd(
+        mesh, lambda x: jax.device_put(x, sharding))
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "gspmd_worker.py"
+    script.write_text(_GSPMD_WORKER.replace("__REPO__", os.path.abspath(repo)))
+
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+                   JAX_NUM_PROCESSES="2", JAX_PROCESS_ID=str(pid),
+                   JAX_PLATFORMS="cpu")
+        env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+        procs.append(subprocess.Popen([sys.executable, str(script)], env=env,
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=1500)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("2-process gspmd step timed out")
+        outs.append(out)
+    for pid, out in enumerate(outs):
+        assert procs[pid].returncode == 0, f"proc {pid}:\n{out[-3000:]}"
+        line = [l for l in out.splitlines() if l.startswith("METRICS ")]
+        assert line, out[-3000:]
+        m = json.loads(line[0][len("METRICS "):])
+        for k, v in base.items():
+            assert abs(m[k] - v) <= 5e-4 * max(abs(v), 1.0), (
+                f"proc {pid} metric {k}: {m[k]} vs baseline {v}")
