@@ -258,11 +258,15 @@ def _reference(x, scale, bias, kernel, conv_bias, gate_c, groups, eps, silu):
     y = y.astype(x.dtype)
     dn = jax.lax.conv_dimension_numbers(y.shape, kernel.shape,
                                         ("NHWC", "HWIO", "NHWC"))
+    # conv in the operand dtype (like the unfused nn.Conv chain): a
+    # preferred_element_type=f32 here makes the conv TRANSPOSE see a f32
+    # cotangent against a bf16 kernel — lax.conv requires matching dtypes,
+    # so the bf16 VJP recompute would crash (caught by the bf16 CLI smoke)
     out = jax.lax.conv_general_dilated(
         y, kernel.astype(x.dtype), window_strides=(1, 1),
-        padding=((1, 1), (1, 1)), dimension_numbers=dn,
-        preferred_element_type=jnp.float32)
-    return (out + conv_bias.astype(jnp.float32)).astype(x.dtype)
+        padding=((1, 1), (1, 1)), dimension_numbers=dn)
+    return (out.astype(jnp.float32)
+            + conv_bias.astype(jnp.float32)).astype(x.dtype)
 
 
 def _nl_kernel(x_ref, a_ref, b_ref, w_ref, lb_ref, o_ref):
@@ -285,9 +289,9 @@ def _linear_reference(x, scale, bias, kernel, lbias, gate_c, groups, eps):
     var = xg.var(axis=(1, 3), keepdims=True)
     y = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(b, s, c)
     y = (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
-    out = jnp.einsum("bsc,cd->bsd", y, kernel.astype(x.dtype),
-                     preferred_element_type=jnp.float32)
-    return (out + lbias.astype(jnp.float32)).astype(x.dtype)
+    # operand-dtype dot for the same transpose-dtype reason as _reference
+    out = jnp.einsum("bsc,cd->bsd", y, kernel.astype(x.dtype))
+    return (out.astype(jnp.float32) + lbias.astype(jnp.float32)).astype(x.dtype)
 
 
 def _linear_forward(x, scale, bias, kernel, lbias, gate_c, groups, eps,

@@ -41,7 +41,8 @@ logger = logging.getLogger("diffusion_pruning_tpu")
 def unet_config_from_yaml(cfg, tiny: bool = False) -> UNetConfig:
     u = cfg.model.unet
     if tiny:
-        return UNetConfig.tiny(gated_ff=u.get("gated_ff", True))
+        return UNetConfig.tiny(gated_ff=u.get("gated_ff", True),
+                               fused_norm_conv=u.get("fused_norm_conv", False))
     return UNetConfig.sd21(
         resolution=u.get("resolution", 256),
         down_block_types=tuple(u.get("unet_down_blocks")),

@@ -70,6 +70,51 @@ def test_fused_bf16():
                                rtol=3e-2, atol=3e-2)
 
 
+def test_bf16_gradients_compile_and_match():
+    """The bf16 VJP recompute must be well-typed (a preferred_element_type
+    conv in the reference composition makes the transpose mix bf16/f32 and
+    crash — caught by the fused prune-CLI smoke) and match the reference's
+    gradients. Differentiates through x and gate only — the frozen-U-Net
+    stage-1 path, where the gate carries the router's gradient."""
+    from diffusion_pruning_tpu.ops.norm_conv import (_linear_reference,
+                                                     group_norm_linear)
+    b, h, w, c, cout, groups = 2, 6, 6, 16, 24, 4
+    x, scale, bias, kernel, cbias = _args(21, b, h, w, c, cout, jnp.bfloat16)
+    kernel = kernel.astype(jnp.bfloat16)
+    gate_c = jax.nn.sigmoid(_rand(jax.random.PRNGKey(22), b, c))
+
+    def loss_fused(x, g):
+        return jnp.sum(group_norm_silu_conv3x3(
+            x, scale, bias, kernel, cbias, g, groups, 1e-5, True, True
+        ).astype(jnp.float32) ** 2)
+
+    def loss_ref(x, g):
+        return jnp.sum(_reference(
+            x, scale, bias, kernel, cbias, g, groups, 1e-5, True
+        ).astype(jnp.float32) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1))(x, gate_c)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(x, gate_c)
+    for a, r in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(r, np.float32),
+                                   rtol=5e-2, atol=5e-2)
+
+    # linear variant, bf16 grads
+    xs = _rand(jax.random.PRNGKey(23), b, h * w, c, dtype=jnp.bfloat16)
+    ks = (0.1 * _rand(jax.random.PRNGKey(24), c, cout)).astype(jnp.bfloat16)
+    lb = 0.1 * _rand(jax.random.PRNGKey(25), cout)
+    g = jax.grad(lambda x: jnp.sum(group_norm_linear(
+        x, scale, bias, ks, lb, None, groups, 1e-6, True
+    ).astype(jnp.float32) ** 2))(xs)
+    gr2 = jax.grad(lambda x: jnp.sum(_linear_reference(
+        x, scale, bias, ks, lb, None, groups, 1e-6
+    ).astype(jnp.float32) ** 2))(xs)
+    np.testing.assert_allclose(np.asarray(g, np.float32),
+                               np.asarray(gr2, np.float32),
+                               rtol=5e-2, atol=5e-2)
+
+
 def test_gradients_match_reference():
     b, h, w, c, cout, groups = 2, 5, 5, 16, 24, 4
     x, scale, bias, kernel, cbias = _args(3, b, h, w, c, cout, jnp.float32)
