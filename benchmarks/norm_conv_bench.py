@@ -7,7 +7,13 @@ bench.py (DPT_BENCH_FUSED_NC=1).
 
   JAX_PLATFORMS='' python benchmarks/norm_conv_bench.py
 
-Env: DPT_BATCH (16), DPT_RES (256), DPT_ITERS (30).
+Env: DPT_BATCH (16), DPT_RES (256), DPT_ITERS (30), DPT_SCAN_TIMING (0).
+
+DPT_SCAN_TIMING=1 wraps each op in a lax.scan chain inside ONE jitted
+program and fetches a single scalar — the per-call timing mode pays the
+~30 ms tunnel RTT per fetch, which swamps ~1 ms kernels; scan timing
+amortises it (the chain's feedback add costs both arms equally, so the
+Δms/iter between arms stays meaningful even though ratios compress).
 """
 import os
 import sys
@@ -48,7 +54,12 @@ def shapes():
     ]
 
 
+SCAN_TIMING = os.environ.get("DPT_SCAN_TIMING", "0") == "1"
+
+
 def time_fn(fn, args, iters):
+    if SCAN_TIMING:
+        return time_fn_scan(fn, args, iters)
     out = fn(*args)
     float(jnp.sum(out.astype(jnp.float32)))  # force completion (compile)
     t0 = time.perf_counter()
@@ -56,6 +67,35 @@ def time_fn(fn, args, iters):
     for o in outs:
         float(jnp.sum(o.astype(jnp.float32)))
     return (time.perf_counter() - t0) / iters * 1e3
+
+
+def time_fn_scan(fn, args, iters, reps=3):
+    """Time `iters` chained applications inside one jitted scan, one fetch.
+
+    The carry feeds each output back into the input's leading channels
+    (cout <= cin for every shape here) so XLA cannot hoist or elide the op;
+    that feedback add costs both arms identically.
+    """
+    x0, rest = args[0], args[1:]
+
+    def body(carry, _):
+        out = fn(carry, *rest)
+        cout = out.shape[-1]
+        upd = (carry[..., :cout] + out.astype(carry.dtype) *
+               jnp.asarray(1e-3, carry.dtype))
+        carry = jnp.concatenate([upd, carry[..., cout:]], axis=-1)
+        return carry, ()
+
+    @jax.jit
+    def run(x, *rest_):
+        y, _ = jax.lax.scan(lambda c, u: body(c, u), x, None, length=iters)
+        return jnp.sum(y.astype(jnp.float32))
+
+    float(run(x0, *rest))  # compile
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        float(run(x0, *rest))
+    return (time.perf_counter() - t0) / (reps * iters) * 1e3
 
 
 def main():

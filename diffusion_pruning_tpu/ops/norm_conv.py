@@ -97,7 +97,9 @@ def _pick_tiles(h, w, c, cout, esize):
 
 def _nc_kernel(x_ref, a_ref, b_ref, w_ref, cb_ref, o_ref, ypad_ref, *,
                H: int, W: int, silu: bool):
-    # x: (1, H, W, C); a/b: (1, C) f32; w: (9, C, TC); cb: (1, TC);
+    # x: (1, H, W, C); a/b: (1, 1, C) f32 (the dummy middle dim keeps the
+    # block's trailing dims equal to the array dims — Mosaic rejects a
+    # (1, C) block over a (B, C) array); w: (9, C, TC); cb: (1, TC);
     # o: (1, H, W, TC); ypad scratch: (H+2, W, C) in compute dtype.
     C = x_ref.shape[-1]
     TC = o_ref.shape[-1]
@@ -108,7 +110,7 @@ def _nc_kernel(x_ref, a_ref, b_ref, w_ref, cb_ref, o_ref, ypad_ref, *,
     @pl.when(pl.program_id(1) == 0)
     def _build():
         xv = x_ref[0].astype(jnp.float32)                    # (H, W, C)
-        y = a_ref[0][None, None, :] * xv + b_ref[0][None, None, :]
+        y = a_ref[0, 0][None, None, :] * xv + b_ref[0, 0][None, None, :]
         if silu:
             y = y * jax.nn.sigmoid(y)
         ypad_ref[0] = jnp.zeros((W, C), cdtype)              # zero halo rows:
@@ -150,8 +152,8 @@ def _nc_kernel_ht(xp_ref, xc_ref, xn_ref, a_ref, b_ref, w_ref, cb_ref, o_ref,
 
     @pl.when(pl.program_id(2) == 0)
     def _build():
-        a = a_ref[0][None, None, :]
-        b = b_ref[0][None, None, :]
+        a = a_ref[0, 0][None, None, :]
+        b = b_ref[0, 0][None, None, :]
 
         def norm(v):
             y = a * v.astype(jnp.float32) + b
@@ -193,6 +195,7 @@ def _forward(x, scale, bias, kernel, conv_bias, gate_c, groups, eps, silu,
                           eps, silu)
     th, tc = tiles
     a, bb = _affine_coeffs(x, scale, bias, groups, eps, gate_c)
+    a, bb = a[:, None, :], bb[:, None, :]   # (B, 1, C) — legal block dims
     wk = kernel.reshape(9, c, cout).astype(x.dtype)
     cb = conv_bias.reshape(1, cout)
     common = dict(
@@ -207,8 +210,10 @@ def _forward(x, scale, bias, kernel, conv_bias, gate_c, groups, eps, silu,
             in_specs=[
                 pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((9, c, tc), lambda i, j: (0, 0, j),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, tc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
@@ -228,8 +233,10 @@ def _forward(x, scale, bias, kernel, conv_bias, gate_c, groups, eps, silu,
             xspec(lambda r: jnp.maximum(r - 1, 0)),
             xspec(lambda r: r),
             xspec(lambda r: jnp.minimum(r + 1, nr - 1)),
-            pl.BlockSpec((1, c), lambda i, r, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i, r, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, r, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, r, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((9, c, tc), lambda i, r, j: (0, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tc), lambda i, r, j: (0, j),
@@ -270,9 +277,10 @@ def _reference(x, scale, bias, kernel, conv_bias, gate_c, groups, eps, silu):
 
 
 def _nl_kernel(x_ref, a_ref, b_ref, w_ref, lb_ref, o_ref):
-    # x: (1, HW, C); a/b: (1, C) f32; w: (C, TC); lb: (1, TC); o: (1, HW, TC)
+    # x: (1, HW, C); a/b: (1, 1, C) f32 (dummy middle dim — see _nc_kernel);
+    # w: (C, TC); lb: (1, TC); o: (1, HW, TC)
     x = x_ref[0].astype(jnp.float32)
-    y = (a_ref[0][None, :] * x + b_ref[0][None, :]).astype(x_ref.dtype)
+    y = (a_ref[0, 0][None, :] * x + b_ref[0, 0][None, :]).astype(x_ref.dtype)
     acc = jax.lax.dot_general(y, w_ref[:], (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     o_ref[0] = (acc + lb_ref[0][None, :].astype(jnp.float32)).astype(o_ref.dtype)
@@ -306,13 +314,14 @@ def _linear_forward(x, scale, bias, kernel, lbias, gate_c, groups, eps,
         return _linear_reference(x, scale, bias, kernel, lbias, gate_c,
                                  groups, eps)
     a, bb = _affine_coeffs(x[:, :, None, :], scale, bias, groups, eps, gate_c)
+    a, bb = a[:, None, :], bb[:, None, :]   # (B, 1, C) — legal block dims
     out = pl.pallas_call(
         _nl_kernel,
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, s, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
