@@ -32,11 +32,10 @@ def main():
     from serving_bench import build_pipeline, BATCH, NE, log
     from diffusion_pruning_tpu.pipelines.expert_server import ExpertServer
 
-    pipe = build_pipeline()
-    spec = pipe.unet.spec
+    pipe, spec, ucfg = build_pipeline()
     t0 = time.perf_counter()
     server = ExpertServer.from_codebook(
-        pipe, pipe.unet_params, spec, pipe.unet.cfg,
+        pipe, pipe.unet_params, spec, ucfg,
         batch_size=BATCH, param_dtype=jnp.bfloat16)
     t_mat = time.perf_counter() - t0
     log(f"materialised {NE} experts in {t_mat:.1f}s")
