@@ -117,12 +117,16 @@ def main():
                                           jax.random.PRNGKey(3 + i))
         _ = float(metrics["loss"])
     dt = (time.perf_counter() - t0) / iters
+    from _mfu import step_mfu
+    mfu = step_mfu(step, (params, frozen, opt_state, batch,
+                          jax.random.PRNGKey(2)), dt)
     print(json.dumps({
         "metric": f"stage2_finetune_samples_per_sec_per_chip_{RES}px_b{BATCH}"
                   + (f"_accum{accum}" if accum > 1 else ""),
         "value": round(BATCH / dt, 2),
         "ms_per_step": round(dt * 1000, 1),
         "flash": FLASH, "remat": REMAT, "expert_keep": KEEP,
+        **mfu,
     }))
 
 

@@ -124,11 +124,14 @@ def main():
                                          jax.random.PRNGKey(3 + i))
         _ = float(metrics["loss"])
     dt = (time.perf_counter() - t0) / iters
+    from _mfu import step_mfu
+    mfu = step_mfu(step, (tr, frozen, ost, batch, jax.random.PRNGKey(2)), dt)
     print(json.dumps({
         "metric": f"stage1_trainstep_samples_per_sec_per_chip_{RES}px_b{BATCH}",
         "value": round(BATCH / dt, 2),
         "ms_per_step": round(dt * 1000, 1),
         "flash": FLASH, "latent_cache": LATENT_CACHE, "remat": REMAT,
+        **mfu,
     }))
 
 

@@ -25,9 +25,25 @@ def data_mesh(devices: Optional[Sequence] = None) -> Mesh:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host batch sharded along the data axis."""
+    """Place a host batch sharded along the data axis.
+
+    Non-numeric leaves (e.g. the loader's object-dtype `captions` column —
+    host-side metadata for logging, never consumed by a jitted step) are
+    dropped: they can't live on device, and leaving them in the dict would
+    break tracing of steps that take the whole batch pytree.
+    """
     sharding = NamedSharding(mesh, P(DATA_AXIS))
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+    def _place(x):
+        dtype = np.asarray(x).dtype if not hasattr(x, "dtype") else x.dtype
+        if not (np.issubdtype(dtype, np.number) or dtype == np.bool_):
+            return None
+        return jax.device_put(x, sharding)
+
+    placed = jax.tree.map(_place, batch)
+    if isinstance(placed, dict):
+        return {k: v for k, v in placed.items() if v is not None}
+    return placed
 
 
 def replicate(mesh: Mesh, tree):

@@ -38,6 +38,17 @@ from diffusion_pruning_tpu.schedulers import DiffusionSchedule
 logger = logging.getLogger("diffusion_pruning_tpu")
 
 
+def _jit_init(fn):
+    """Run a flax init inside ONE jitted program.
+
+    Un-jitted inits dispatch op-by-op; over the remote-TPU tunnel every op
+    pays the ~30 ms RTT, turning even a tiny model's init into minutes
+    (measured: ~3 min/model in the replay chain before this). One jit =
+    one (persistent-cached) compile + one dispatch, with the exact same
+    flax initializer semantics."""
+    return jax.jit(fn)()
+
+
 def unet_config_from_yaml(cfg, tiny: bool = False) -> UNetConfig:
     u = cfg.model.unet
     if tiny:
@@ -82,7 +93,7 @@ def build_unet(ucfg: UNetConfig, sd_root: Optional[str], dtype=jnp.float32,
         logger.info("loaded U-Net weights from %s", sub)
     else:
         logger.warning("U-Net checkpoint %s missing — random init", sub)
-        params = model.init_params(jax.random.PRNGKey(0), batch=1)
+        params = _jit_init(lambda: model.init_params(jax.random.PRNGKey(0), batch=1))
         if param_dtype is not None:
             params = _cast(params, param_dtype)
     return model, params
@@ -99,8 +110,9 @@ def build_vae(sd_root: Optional[str], tiny: bool = False, dtype=jnp.float32,
     else:
         logger.warning("VAE checkpoint %s missing — random init", sub)
         res = 32 if tiny else 256
-        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, res, res, 3)),
-                            jax.random.PRNGKey(1))["params"]
+        params = _jit_init(lambda: model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, res, res, 3)),
+            jax.random.PRNGKey(1))["params"])
         if param_dtype is not None:
             params = _cast(params, param_dtype)
     return model, params
@@ -116,7 +128,8 @@ def build_text_encoder(sd_root: Optional[str], tiny: bool = False, dtype=jnp.flo
         params = _cast(convert.convert_clip_text_state_dict(sd, tcfg), param_dtype)
     else:
         logger.warning("text encoder checkpoint %s missing — random init", sub)
-        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 77), jnp.int32))["params"]
+        params = _jit_init(lambda: model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 77), jnp.int32))["params"])
         if param_dtype is not None:
             params = _cast(params, param_dtype)
     return model, params
@@ -130,8 +143,9 @@ def build_mpnet(root: Optional[str], tiny: bool = False, dtype=jnp.float32):
         params = jax.tree.map(jnp.asarray, convert.convert_mpnet_state_dict(sd, mcfg))
     else:
         logger.warning("MPNet checkpoint %s missing — random init", root)
-        ids = jnp.zeros((1, 8), jnp.int32)
-        params = model.init(jax.random.PRNGKey(0), ids, jnp.ones((1, 8), jnp.int32))["params"]
+        params = _jit_init(lambda: model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+            jnp.ones((1, 8), jnp.int32))["params"])
     return model, params
 
 
@@ -142,7 +156,8 @@ def build_hypernet(spec, cfg, input_dim: int = 768):
         weight_norm=h.get("weight_norm", False),
         linear_bias=h.get("linear_bias", True),
         single_arch_param=h.get("single_arch_param", False))
-    params = model.init(jax.random.PRNGKey(1), jnp.zeros((1, input_dim)))["params"]
+    params = _jit_init(lambda: model.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, input_dim)))["params"])
     return model, params
 
 

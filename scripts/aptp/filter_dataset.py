@@ -46,13 +46,9 @@ def main():
     hn_params = restored["trainable"]["hypernet"]
     q_state = restored["q_state"]
 
-    if os.path.exists(args.prompt_encoder_model_name_or_path or ""):
-        from transformers import AutoTokenizer
-        tok = AutoTokenizer.from_pretrained(args.prompt_encoder_model_name_or_path)
-    else:
-        from diffusion_pruning_tpu.data.dummy_tokenizer import DummyTokenizer
-        print("[smoke] MPNet tokenizer missing — dummy hash tokenizer", file=sys.stderr)
-        tok = DummyTokenizer(vocab_size=mpnet.cfg.vocab_size, max_length=32)
+    from diffusion_pruning_tpu.data.tokenizers import build_mpnet_tokenizer
+    tok = build_mpnet_tokenizer(args.prompt_encoder_model_name_or_path,
+                                vocab_size=mpnet.cfg.vocab_size)
 
     @jax.jit
     def route(emb):
@@ -64,7 +60,10 @@ def main():
     mp_fwd = jit_sentence_embed(mpnet)
 
     def embed(caps):
-        enc = tok(caps, padding="max_length", max_length=MPNET_MAX_LEN,
+        # cap at the model's position table (tiny smoke MPNet has 64);
+        # MUST match prune.py's tokenization so routing is consistent
+        enc = tok(caps, padding="max_length",
+                  max_length=min(MPNET_MAX_LEN, mpnet.cfg.max_positions),
                   truncation=True, return_tensors="np")
         return np.asarray(mp_fwd(mpnet_params, jnp.asarray(enc["input_ids"]),
                                  jnp.asarray(enc["attention_mask"])))

@@ -138,10 +138,11 @@ def main():
     resolution = ucfg.sample_size * 8
     data_dir = cfg.data.get("data_dir") or ""
     if os.path.exists(data_dir):
-        from transformers import CLIPTokenizer
         from diffusion_pruning_tpu.data import get_dataset
         from diffusion_pruning_tpu.data.loader import DataPipeline
-        clip_tok = CLIPTokenizer.from_pretrained(os.path.join(sd_root, "tokenizer"))
+        from diffusion_pruning_tpu.data.tokenizers import build_clip_tokenizer
+        clip_tok = build_clip_tokenizer(
+            sd_root, vocab_size=mods.text_encoder.cfg.vocab_size)
 
         def tok_clip(caps):
             return np.asarray(clip_tok(caps, max_length=77, padding="max_length",

@@ -119,16 +119,20 @@ def main():
 
     data_dir = cfg.data.get("data_dir") or ""
     if os.path.exists(data_dir):
-        from transformers import AutoTokenizer, CLIPTokenizer
-        clip_tok = CLIPTokenizer.from_pretrained(os.path.join(sd_root, "tokenizer"))
-        mp_tok = AutoTokenizer.from_pretrained(args.prompt_encoder_model_name_or_path)
+        from diffusion_pruning_tpu.data.tokenizers import (
+            build_clip_tokenizer, build_mpnet_tokenizer)
+        clip_tok = build_clip_tokenizer(sd_root, vocab_size=text.cfg.vocab_size)
+        mp_tok = build_mpnet_tokenizer(args.prompt_encoder_model_name_or_path,
+                                       vocab_size=mpnet.cfg.vocab_size)
 
         def tok_clip(caps):
             return np.asarray(clip_tok(caps, max_length=77, padding="max_length",
                                        truncation=True, return_tensors="np").input_ids)
 
         def tok_mp(caps):
-            enc = mp_tok(caps, padding="max_length", max_length=128,
+            # cap at the model's position table (tiny smoke MPNet has 64)
+            mp_len = min(128, mpnet.cfg.max_positions)
+            enc = mp_tok(caps, padding="max_length", max_length=mp_len,
                          truncation=True, return_tensors="np")
             return {"mpnet_input_ids": enc.input_ids,
                     "mpnet_attention_mask": enc.attention_mask}

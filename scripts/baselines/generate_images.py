@@ -58,8 +58,8 @@ def main():
         params = slice_expert_params(dense_params, plan)
         if args.finetuning_ckpt_dir:
             mgr = CheckpointManager(args.finetuning_ckpt_dir)
-            params = mgr.restore(template={"params": params, "opt_state": None,
-                                           "step": np.asarray(0)})["params"]
+            # template-free: saved opt_state isn't reconstructible here
+            params = mgr.restore()["params"]
 
     vae, vae_params = build_vae(sd_root, tiny=tiny, dtype=dtype)
     text, text_params = build_text_encoder(sd_root, tiny=tiny, dtype=dtype)
@@ -73,8 +73,8 @@ def main():
     max_n = cfg.data.get("max_generated_samples")
     if max_n:
         caps = caps[:max_n]
-    from transformers import CLIPTokenizer
-    clip_tok = CLIPTokenizer.from_pretrained(os.path.join(sd_root, "tokenizer"))
+    from diffusion_pruning_tpu.data.tokenizers import build_clip_tokenizer
+    clip_tok = build_clip_tokenizer(sd_root, vocab_size=text.cfg.vocab_size)
 
     def tok(c):
         return jnp.asarray(clip_tok(c, max_length=77, padding="max_length",

@@ -59,9 +59,9 @@ def main():
     if args.finetuning_ckpt_dir:
         from diffusion_pruning_tpu.utils.checkpoint import CheckpointManager
         mgr = CheckpointManager(args.finetuning_ckpt_dir)
-        restored = mgr.restore(template={"params": expert_params, "opt_state": None,
-                                         "step": np.asarray(0)})
-        expert_params = restored["params"]
+        # template-free restore: the saved opt_state pytree (adamw lists)
+        # isn't reconstructible here, and orbax rejects a None placeholder
+        expert_params = mgr.restore()["params"]
 
     vae, vae_params = build_vae(sd_root, tiny=tiny, dtype=dtype)
     text, text_params = build_text_encoder(sd_root, tiny=tiny, dtype=dtype)
@@ -92,12 +92,8 @@ def main():
     if max_n:
         caps = caps[:max_n]
 
-    if os.path.exists(os.path.join(sd_root or "", "tokenizer")):
-        from transformers import CLIPTokenizer
-        clip_tok = CLIPTokenizer.from_pretrained(os.path.join(sd_root, "tokenizer"))
-    else:
-        from diffusion_pruning_tpu.data.dummy_tokenizer import DummyTokenizer
-        clip_tok = DummyTokenizer(vocab_size=128, max_length=77)
+    from diffusion_pruning_tpu.data.tokenizers import build_clip_tokenizer
+    clip_tok = build_clip_tokenizer(sd_root, vocab_size=text.cfg.vocab_size)
 
     def tok(c):
         return jnp.asarray(clip_tok(c, max_length=77, padding="max_length",

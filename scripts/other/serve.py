@@ -180,12 +180,9 @@ def main(argv=None):
                    for i in range(args.n_synthetic)]
 
     sd_root = args.pretrained_model_name_or_path
-    if os.path.exists(os.path.join(sd_root or "", "tokenizer")):
-        from transformers import CLIPTokenizer
-        tok = CLIPTokenizer.from_pretrained(os.path.join(sd_root, "tokenizer"))
-    else:
-        from diffusion_pruning_tpu.data.dummy_tokenizer import DummyTokenizer
-        tok = DummyTokenizer(vocab_size=128, max_length=ucfg.max_text_len)
+    from diffusion_pruning_tpu.data.tokenizers import build_clip_tokenizer
+    tok = build_clip_tokenizer(sd_root, max_length=ucfg.max_text_len,
+                               vocab_size=text.cfg.vocab_size)
 
     def ids_of(caps):
         return jnp.asarray(tok(caps, max_length=ucfg.max_text_len,
@@ -197,18 +194,17 @@ def main(argv=None):
     # filter_dataset.py so serve-time routing matches stage-1 filtering
     from diffusion_pruning_tpu.models.text_encoders import (
         MPNET_MAX_LEN, jit_sentence_embed)
-    if os.path.exists(args.prompt_encoder_model_name_or_path or ""):
-        from transformers import AutoTokenizer
-        mp_tok = AutoTokenizer.from_pretrained(
-            args.prompt_encoder_model_name_or_path)
-    else:
-        from diffusion_pruning_tpu.data.dummy_tokenizer import DummyTokenizer
-        mp_tok = DummyTokenizer(vocab_size=mpnet.cfg.vocab_size,
-                                max_length=MPNET_MAX_LEN)
+    from diffusion_pruning_tpu.data.tokenizers import build_mpnet_tokenizer
+    # cap at the model's position table (tiny smoke MPNet has 64); MUST
+    # match prune.py/filter_dataset.py tokenization so routing is consistent
+    mp_len = min(MPNET_MAX_LEN, mpnet.cfg.max_positions)
+    mp_tok = build_mpnet_tokenizer(args.prompt_encoder_model_name_or_path,
+                                   vocab_size=mpnet.cfg.vocab_size,
+                                   max_length=mp_len)
     mp_fwd = jit_sentence_embed(mpnet)
 
     def route_features(caps):
-        enc = mp_tok(caps, padding="max_length", max_length=MPNET_MAX_LEN,
+        enc = mp_tok(caps, padding="max_length", max_length=mp_len,
                      truncation=True, return_tensors="np")
         return mp_fwd(mpnet_params, jnp.asarray(enc["input_ids"]),
                       jnp.asarray(enc["attention_mask"]))

@@ -89,3 +89,22 @@ def test_tracker_wandb_passthrough(tmp_path, monkeypatch):
     with open(tmp_path / "metrics.jsonl") as f:
         rows = [_json.loads(l) for l in f]
     assert rows == [{"step": 7, "loss": 1.5, "ratio": 0.6}]
+
+
+def test_shard_batch_drops_non_numeric_leaves():
+    """The loader yields an object-dtype `captions` column (host metadata,
+    loader.py:167); shard_batch must device-place numerics and drop it —
+    the replay-chain prune run hit device_put(dtype=object) before this."""
+    import jax
+    from diffusion_pruning_tpu.parallel import data_mesh, shard_batch
+
+    mesh = data_mesh(jax.devices()[:2])
+    batch = {
+        "pixel_values": np.zeros((4, 8, 8, 3), np.float32),
+        "input_ids": np.zeros((4, 7), np.int32),
+        "flag": np.zeros((4,), bool),
+        "captions": np.asarray(["a", "b", "c", "d"], dtype=object),
+    }
+    placed = shard_batch(mesh, batch)
+    assert set(placed) == {"pixel_values", "input_ids", "flag"}
+    assert all(isinstance(v, jax.Array) for v in placed.values())
