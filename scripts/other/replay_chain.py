@@ -192,8 +192,8 @@ training:
     std_loss: {{weight: 0.1}}
     max_loss: {{weight: 0.1}}
   optim:
-    hypernet_learning_rate: 2e-4
-    quantizer_learning_rate: 2e-4
+    hypernet_learning_rate: {router_lr}
+    quantizer_learning_rate: {router_lr}
     unet_learning_rate: 5e-5
     scale_lr: false
     lr_scheduler: constant_with_warmup
@@ -304,6 +304,10 @@ def main():
     p.add_argument("--ft_steps", type=int, default=4,
                    help="stage-2 steps per expert")
     p.add_argument("--batch", type=int, default=2)
+    p.add_argument("--router_lr", default="2e-4",
+                   help="hypernet/quantizer LR; at chip scale pass ~4e-3 "
+                        "(the convergence-run recipe) so Sinkhorn balancing "
+                        "spreads codebook assignment within a short schedule")
     p.add_argument("--infer_steps", type=int, default=3)
     p.add_argument("--platform", choices=("tpu", "cpu"), default="tpu")
     p.add_argument("--fresh", action="store_true",
@@ -342,6 +346,7 @@ def main():
                                   runs=runs, steps=args.steps,
                                   pretrain=max(args.steps // 3, 1),
                                   batch=args.batch,
+                                  router_lr=args.router_lr,
                                   infer_steps=args.infer_steps))
     ft_cfg = os.path.join(ws, "replay_finetune.yaml")
     with open(ft_cfg, "w") as f:
