@@ -18,6 +18,11 @@ import numpy as np
 
 
 def gaussian_stats(features: np.ndarray):
+    if features.ndim != 2 or features.shape[0] < 2:
+        raise ValueError(
+            f"FID statistics need a (N>=2, D) feature matrix, got shape "
+            f"{features.shape} — the Fréchet distance is undefined for a "
+            f"single sample (np.cov degenerates to a scalar)")
     mu = features.mean(axis=0)
     sigma = np.cov(features, rowvar=False)
     return mu, sigma

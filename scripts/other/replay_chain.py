@@ -265,6 +265,16 @@ training:
 """
 
 
+def leg_done(tag, *paths):
+    """Artifact-reuse: a leg whose output files already exist is skipped,
+    so a crashed chain resumes from the failed leg instead of re-running
+    hours of prune/finetune/generate (pass --fresh to force a full rerun)."""
+    if paths and all(os.path.exists(p) for p in paths):
+        log(f"{tag}: artifacts exist — skipping (resume)")
+        return True
+    return False
+
+
 def run_cli(script, args, env, tag, capture=None):
     """One chain link = one subprocess (never two JAX processes at once)."""
     cmd = [sys.executable, os.path.join(ROOT, script)] + args
@@ -360,27 +370,40 @@ def main():
               "--jax_cache_dir", os.path.join(ws, "jax_cache")]
 
     # ---- 1. stage-1 prune ----
-    run_cli("scripts/aptp/prune.py",
-            ["--base_config_path", prune_cfg,
-             "--wandb_run_name", "s1"] + common, env, "prune", timings)
     prune_run = os.path.join(runs, "replay_prune", "s1")
-    assert os.path.isdir(prune_run), prune_run
-    ckpts = sorted(d for d in os.listdir(prune_run) if d.startswith("checkpoint-"))
-    assert ckpts, f"prune wrote no checkpoint under {prune_run}"
-    latest_ckpt = os.path.join(prune_run, ckpts[-1])
-    for artifact in ("quantizer_embeddings.pt", "state",
-                     "hypernet/diffusion_pytorch_model.safetensors",
-                     "quantizer/diffusion_pytorch_model.safetensors",
-                     "unet/diffusion_pytorch_model.safetensors"):
+    prune_artifacts = ("quantizer_embeddings.pt", "state",
+                       "hypernet/diffusion_pytorch_model.safetensors",
+                       "quantizer/diffusion_pytorch_model.safetensors",
+                       "unet/diffusion_pytorch_model.safetensors")
+
+    def _latest_ckpt():
+        if not os.path.isdir(prune_run):
+            return None
+        cs = sorted(d for d in os.listdir(prune_run)
+                    if d.startswith("checkpoint-"))
+        return os.path.join(prune_run, cs[-1]) if cs else None
+
+    ck = _latest_ckpt()
+    if not (ck and leg_done("prune",
+                            *(os.path.join(ck, a) for a in prune_artifacts))):
+        run_cli("scripts/aptp/prune.py",
+                ["--base_config_path", prune_cfg,
+                 "--wandb_run_name", "s1"] + common, env, "prune", timings)
+    latest_ckpt = _latest_ckpt()
+    assert latest_ckpt, f"prune wrote no checkpoint under {prune_run}"
+    for artifact in prune_artifacts:
         assert os.path.exists(os.path.join(latest_ckpt, artifact)), artifact
     results["prune_run"] = prune_run
     log(f"stage-1 checkpoint: {latest_ckpt}")
 
     # ---- 2. router assignment ----
-    run_cli("scripts/aptp/filter_dataset.py",
-            ["--base_config_path", prune_cfg,
-             "--pruning_ckpt_dir", prune_run] + common,
-            env, "filter_dataset", timings)
+    if not leg_done("filter_dataset",
+                    os.path.join(prune_run, "coco_train_mapped_indices.pt"),
+                    os.path.join(prune_run, "coco_validation_mapped_indices.pt")):
+        run_cli("scripts/aptp/filter_dataset.py",
+                ["--base_config_path", prune_cfg,
+                 "--pruning_ckpt_dir", prune_run] + common,
+                env, "filter_dataset", timings)
     import numpy as np
 
     def _load_pt(path):
@@ -409,13 +432,15 @@ def main():
         results["per_expert"][e] = r
         ft_run = None
         if train_counts[e] >= args.batch:
-            run_cli("scripts/aptp/finetune.py",
-                    ["--base_config_path", ft_cfg,
-                     "--pruning_ckpt_dir", prune_run,
-                     "--wandb_run_name", "ft",
-                     "--expert_id", str(e)] + common,
-                    env, f"finetune[{e}]", timings)
             ft_run = os.path.join(runs, "replay_finetune", f"ft-expert{e}")
+            if not leg_done(f"finetune[{e}]",
+                            os.path.join(ft_run, "arch_vector.pt")):
+                run_cli("scripts/aptp/finetune.py",
+                        ["--base_config_path", ft_cfg,
+                         "--pruning_ckpt_dir", prune_run,
+                         "--wandb_run_name", "ft",
+                         "--expert_id", str(e)] + common,
+                        env, f"finetune[{e}]", timings)
             assert os.path.isdir(ft_run), ft_run
             assert os.path.exists(os.path.join(ft_run, "arch_vector.pt"))
             ft_ckpts = [d for d in os.listdir(ft_run)
@@ -431,32 +456,42 @@ def main():
             log(f"expert {e}: no validation prompts routed — skipping metrics")
             continue
 
-        gen_args = ["--base_config_path", prune_cfg,
-                    "--pruning_ckpt_dir", prune_run,
-                    "--expert_id", str(e), "--seed", str(100 + e)] + common
-        if ft_run:
-            gen_args += ["--finetuning_ckpt_dir", ft_run]
-        run_cli("scripts/metrics/generate_fid_images.py", gen_args, env,
-                f"generate[{e}]", timings)
         gen_dir = os.path.join(runs, f"fid_images_expert_{e}")
+        if not (os.path.isdir(gen_dir)
+                and any(f.endswith(".npy") for f in os.listdir(gen_dir))
+                and leg_done(f"generate[{e}]", gen_dir)):
+            gen_args = ["--base_config_path", prune_cfg,
+                        "--pruning_ckpt_dir", prune_run,
+                        "--expert_id", str(e), "--seed", str(100 + e)] + common
+            if ft_run:
+                gen_args += ["--finetuning_ckpt_dir", ft_run]
+            run_cli("scripts/metrics/generate_fid_images.py", gen_args, env,
+                    f"generate[{e}]", timings)
         n_imgs = len([f for f in os.listdir(gen_dir) if f.endswith(".npy")])
         assert n_imgs > 0
         r["images"] = n_imgs
 
         caps_json = os.path.join(ws, f"captions_expert_{e}.json")
-        run_cli("scripts/metrics/save_captions.py",
-                ["--base_config_path", prune_cfg,
-                 "--pruning_ckpt_dir", prune_run,
-                 "--expert_id", str(e), "--out", caps_json],
-                env, f"captions[{e}]", timings)
+        if not leg_done(f"captions[{e}]", caps_json):
+            run_cli("scripts/metrics/save_captions.py",
+                    ["--base_config_path", prune_cfg,
+                     "--pruning_ckpt_dir", prune_run,
+                     "--expert_id", str(e), "--out", caps_json],
+                    env, f"captions[{e}]", timings)
         caps = json.load(open(caps_json))[:n_imgs]
         json.dump(caps, open(caps_json, "w"))
 
-        out = run_cli("scripts/metrics/fid.py",
-                      [gen_dir, "--ref_stats", ref_npy,
-                       "--inception", stub_incep],
-                      env, f"fid[{e}]", timings)
-        r["fid_stub"] = float(out.strip().split("FID:")[1])
+        if n_imgs >= 2:
+            out = run_cli("scripts/metrics/fid.py",
+                          [gen_dir, "--ref_stats", ref_npy,
+                           "--inception", stub_incep],
+                          env, f"fid[{e}]", timings)
+            r["fid_stub"] = float(out.strip().split("FID:")[1])
+        else:
+            # Fréchet stats need >=2 samples; clean-fid degenerates the
+            # same way. CLIP-score/CMMD below remain well-defined at N=1.
+            log(f"expert {e}: only {n_imgs} image — FID undefined, skipping")
+            r["fid_stub"] = None
         out = run_cli("scripts/metrics/clip_score.py",
                       [gen_dir, "--captions", caps_json,
                        "--clip_model", clip_dir],
@@ -479,14 +514,17 @@ def main():
     print(f"\n| expert | train | val | finetuned | imgs | FID(stub) "
           f"| CLIP(tiny) | CMMD(tiny) |")
     print("|---|---|---|---|---|---|---|---|")
+    def fmt(v, spec):
+        return format(v, spec) if isinstance(v, float) else "—"
+
     for e in range(args.experts):
         r = results["per_expert"][e]
         print(f"| {e} | {r['train_prompts']} | {r['val_prompts']} "
               f"| {'yes' if 'finetune_run' in r else 'no'} "
               f"| {r.get('images', '—')} "
-              f"| {r.get('fid_stub', float('nan')):.2f} "
-              f"| {r.get('clip_score_tiny', float('nan')):.2f} "
-              f"| {r.get('cmmd_tiny', float('nan')):.3f} |")
+              f"| {fmt(r.get('fid_stub'), '.2f')} "
+              f"| {fmt(r.get('clip_score_tiny'), '.2f')} "
+              f"| {fmt(r.get('cmmd_tiny'), '.3f')} |")
     print(f"\nchain total: {results['total_seconds']}s over "
           f"{len(timings)} CLI invocations → {out_path}")
 
