@@ -73,6 +73,37 @@ def test_frechet_scales_with_mean_shift():
     np.testing.assert_allclose(got, d * 9.0, rtol=1e-8)
 
 
+def test_frechet_rank_deficient_cov_matches_eigh():
+    """The N < D regime (few generated images, wide features — exactly the
+    replay chain's 8-image experts): np.cov is rank-deficient, sqrtm(S1 S2)
+    goes complex, and clean-fid's legacy_pytorch mode takes `.real`. Pin our
+    result against the independent symmetric-eigh evaluation there too."""
+    rng = np.random.RandomState(7)
+    n, d = 6, 16  # n-1 = 5 < d -> rank-5 covariances
+    f1, f2 = rng.randn(n, d), rng.randn(n, d) + 0.5
+    mu1, s1 = M.gaussian_stats(f1)
+    mu2, s2 = M.gaussian_stats(f2)
+
+    w1, v1 = np.linalg.eigh(s1)
+    s1_half = (v1 * np.sqrt(np.clip(w1, 0, None))) @ v1.T
+    tr_covmean = np.sqrt(np.clip(
+        np.linalg.eigvalsh(s1_half @ s2 @ s1_half), 0, None)).sum()
+    expected = float(((mu1 - mu2) ** 2).sum() + np.trace(s1) + np.trace(s2)
+                     - 2 * tr_covmean)
+    got = M.frechet_distance(mu1, s1, mu2, s2)
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-8)
+
+
+def test_gaussian_stats_rejects_single_sample():
+    """Regression for the bug the on-chip replay chain caught (REPLAY.md):
+    one routed validation image -> np.cov degenerates to a scalar -> shape
+    error deep inside sqrtm. Must fail loudly at the stats step instead."""
+    with pytest.raises(ValueError, match="N>=2"):
+        M.gaussian_stats(np.ones((1, 8)))
+    with pytest.raises(ValueError, match="N>=2"):
+        M.gaussian_stats(np.ones(8))
+
+
 # ---------------------------------------------------------------- CMMD
 
 def _reference_mmd(x, y):
