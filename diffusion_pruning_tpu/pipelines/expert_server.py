@@ -73,14 +73,27 @@ class ExpertServer:
         for e in range(codes.shape[0]):
             plan = make_expert_plan(spec, codes[e])
             models.append(GatedUNet(cfg, plan=plan, dtype=pipeline.unet.dtype))
+            # serving precision: K materialised experts at f32 can exceed
+            # HBM (8 × 0.6-MACs SD-2.1 ≈ 17 GB); bf16 halves that. When
+            # casting, fuse the whole slice+cast into ONE jitted program:
+            # the ~1.4k per-leaf gather/cast dispatches pay ~30 ms tunnel
+            # latency each (measured 86 s/expert, 688 s for K=8 SD-2.1);
+            # fused it is one dispatch per expert. The uncast path keeps
+            # slice_expert_params' Python-level buffer sharing for
+            # untouched leaves, so it stays eager.
             if expert_weights is not None and expert_weights[e] is not None:
                 p = expert_weights[e]
+                if param_dtype is not None:
+                    p = jax.jit(lambda t: jax.tree.map(
+                        lambda x: jnp.asarray(x, param_dtype), t))(p)
+            elif param_dtype is not None:
+                def _materialise_expert(dense, _plan=plan):
+                    sliced = slice_expert_params(dense, _plan)
+                    return jax.tree.map(
+                        lambda x: jnp.asarray(x, param_dtype), sliced)
+                p = jax.jit(_materialise_expert)(dense_params)
             else:
                 p = slice_expert_params(dense_params, plan)
-            if param_dtype is not None:
-                # serving precision: K materialised experts at f32 can exceed
-                # HBM (8 × 0.6-MACs SD-2.1 ≈ 17 GB); bf16 halves that
-                p = jax.tree.map(lambda x: jnp.asarray(x, param_dtype), p)
             if getattr(pipeline, "mesh", None) is not None:
                 # sharded serving (parallel.tp.shard_pipeline on the base):
                 # expert param trees share the dense tree's paths, so the

@@ -63,6 +63,9 @@ class PruningPipeline:
     def _sampler(self):
         if self.sampler == "pndm":
             return PNDMSampler(self.schedule)
+        if self.sampler == "dpm++":
+            from diffusion_pruning_tpu.schedulers import DPMSolverPPSampler
+            return DPMSolverPPSampler(self.schedule)
         return DDIMSampler(self.schedule)
 
     def _data_shard(self, x):

@@ -53,6 +53,11 @@ def parse_args(argv=None):
     p.add_argument("--arrival_batch", type=int, default=8,
                    help="Prompts submitted per request wave.")
     p.add_argument("--num_inference_steps", type=int, default=25)
+    p.add_argument("--sampler", type=str, default="ddim",
+                   choices=["ddim", "pndm", "dpm++"],
+                   help="dpm++ (2nd-order multistep) reaches DDIM quality "
+                        "in roughly half the steps — pair with a lower "
+                        "--num_inference_steps for a direct img/s win.")
     p.add_argument("--guidance_scale", type=float, default=7.5)
     p.add_argument("--mode", type=str, default="experts",
                    choices=["experts", "hybrid", "routed"],
@@ -120,7 +125,8 @@ def build_server(args):
         text_encoder=text, text_params=text_params,
         hypernet=hypernet, hypernet_params=hn_params,
         quantizer=quantizer, quantizer_params=q_params,
-        quantizer_state=q_state, schedule=DiffusionSchedule())
+        quantizer_state=q_state, schedule=DiffusionSchedule(),
+        sampler=args.sampler)
 
     expert_weights = None
     if args.finetuning_ckpt_dirs:
@@ -181,8 +187,9 @@ def main(argv=None):
 
     sd_root = args.pretrained_model_name_or_path
     from diffusion_pruning_tpu.data.tokenizers import build_clip_tokenizer
-    tok = build_clip_tokenizer(sd_root, max_length=ucfg.max_text_len,
-                               vocab_size=text.cfg.vocab_size)
+    tok = build_clip_tokenizer(
+        sd_root, max_length=ucfg.max_text_len,
+        vocab_size=server.base_pipeline.text_encoder.cfg.vocab_size)
 
     def ids_of(caps):
         return jnp.asarray(tok(caps, max_length=ucfg.max_text_len,
