@@ -66,7 +66,8 @@ def main():
     pipe = PruningPipeline(unet=model, unet_params=jax.tree.map(jnp.asarray, params),
                            vae=vae, vae_params=vae_params,
                            text_encoder=text, text_params=text_params,
-                           schedule=DiffusionSchedule(), sampler="pndm")
+                           schedule=DiffusionSchedule(),
+                           sampler=cfg.training.get("sampler", "pndm"))
 
     splits = get_dataset(cfg.data)
     caps = splits["validation"]["caption"]

@@ -68,7 +68,12 @@ def main():
     pipe = PruningPipeline(unet=expert, unet_params=jax.tree.map(jnp.asarray, expert_params),
                            vae=vae, vae_params=vae_params,
                            text_encoder=text, text_params=text_params,
-                           schedule=DiffusionSchedule(), sampler="pndm")
+                           schedule=DiffusionSchedule(),
+                           # reference parity: PNDM for FID images
+                           # (generate_fid_images.py:104). YAML override
+                           # training.sampler: dpm++ halves the step count
+                           # at equal quality (schedulers/dpm.py).
+                           sampler=cfg.training.get("sampler", "pndm"))
 
     # prompts: the expert's val subset
     data_dir = cfg.data.get("data_dir") or ""
