@@ -120,6 +120,14 @@ def main():
     from _mfu import step_mfu
     mfu = step_mfu(step, (params, frozen, opt_state, batch,
                           jax.random.PRNGKey(2)), dt)
+    if accum > 1 and mfu.get("flops"):
+        # XLA cost analysis counts a while/scan body ONCE; the gradient-
+        # accumulation scan runs `accum` times and dominates the step (the
+        # once-run optimizer update is elementwise — negligible flops), so
+        # scale. Error < 1%.
+        for k_ in ("flops", "tflops_per_s", "mfu"):
+            if mfu.get(k_) is not None:
+                mfu[k_] = round(mfu[k_] * accum, 4)
     print(json.dumps({
         "metric": f"stage2_finetune_samples_per_sec_per_chip_{RES}px_b{BATCH}"
                   + (f"_accum{accum}" if accum > 1 else ""),

@@ -21,6 +21,27 @@ from flax import linen as nn
 
 from diffusion_pruning_tpu.ops.gates import channel_gate, head_gate
 
+# Diagnostic escape hatch for on-chip A/B of the rank-2 projection view
+# (read at trace time; set before import/jit). Leave unset in production.
+import os
+_DENSE2D_OFF = bool(os.environ.get("DPT_DENSE2D_OFF"))
+
+
+def dense_2d(layer: nn.Module, x: jax.Array) -> jax.Array:
+    """Apply a Dense through a rank-2 view of a (B, S, C) activation.
+
+    XLA:TPU lowers some rank-3 (B, S, C) @ (C, N) dots at the level-0
+    spatial shapes as batch-windowed convolutions (`window={size=B
+    pad=(B-1)_(B-1) rhs_reversal=1}`) — B× the MACs of the GEMM, measured
+    ~70× off roofline (round-4 profile + optimized-HLO dump,
+    PERFORMANCE.md). A rank-2 LHS has a single free dim, so that lowering
+    is unavailable. Same parameters, same math, same checkpoint layout.
+    """
+    if _DENSE2D_OFF:
+        return layer(x)
+    b, s, c = x.shape
+    return layer(x.reshape(b * s, c)).reshape(b, s, -1)
+
 
 class GatedAttention(nn.Module):
     """Multi-head attention with a per-head width gate.
@@ -43,12 +64,12 @@ class GatedAttention(nn.Module):
         head_dim = self.dim // self.heads
         heads = self.active_heads if self.active_heads is not None else self.heads
         inner = heads * head_dim
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="to_k")(ctx)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="to_v")(ctx)
+        q = dense_2d(nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                              param_dtype=self.param_dtype, name="to_q"), x)
+        k = dense_2d(nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                              param_dtype=self.param_dtype, name="to_k"), ctx)
+        v = dense_2d(nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                              param_dtype=self.param_dtype, name="to_v"), ctx)
 
         q = q.reshape(b, s, heads, head_dim)
         k = k.reshape(b, ctx.shape[1], heads, head_dim)
@@ -69,8 +90,9 @@ class GatedAttention(nn.Module):
                 v = head_gate(v, gate)
             o = jax.nn.dot_product_attention(q, k, v)
         o = o.reshape(b, s, inner)
-        return nn.Dense(self.dim, use_bias=True, dtype=self.dtype,
-                        param_dtype=self.param_dtype, name="to_out_0")(o)
+        return dense_2d(nn.Dense(self.dim, use_bias=True, dtype=self.dtype,
+                                 param_dtype=self.param_dtype,
+                                 name="to_out_0"), o)
 
 
 class GatedGEGLU(nn.Module):
@@ -85,8 +107,8 @@ class GatedGEGLU(nn.Module):
 
     @nn.compact
     def __call__(self, x, gate=None):
-        hg = nn.Dense(2 * self.inner_dim, dtype=self.dtype,
-                      param_dtype=self.param_dtype, name="proj")(x)
+        hg = dense_2d(nn.Dense(2 * self.inner_dim, dtype=self.dtype,
+                               param_dtype=self.param_dtype, name="proj"), x)
         h, g = jnp.split(hg, 2, axis=-1)
         if gate is not None:
             h = channel_gate(h, gate)
@@ -108,8 +130,8 @@ class GatedFeedForward(nn.Module):
     def __call__(self, x, gate=None):
         inner = self.active_inner if self.active_inner is not None else self.dim * self.mult
         h = GatedGEGLU(inner, self.dtype, self.param_dtype, name="act")(x, gate)
-        return nn.Dense(self.dim, dtype=self.dtype,
-                        param_dtype=self.param_dtype, name="out")(h)
+        return dense_2d(nn.Dense(self.dim, dtype=self.dtype,
+                                 param_dtype=self.param_dtype, name="out"), h)
 
 
 class GatedTransformerBlock(nn.Module):

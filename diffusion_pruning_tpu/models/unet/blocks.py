@@ -24,7 +24,9 @@ from flax import linen as nn
 
 import jax
 
-from diffusion_pruning_tpu.models.unet.attention import GatedTransformerBlock
+from diffusion_pruning_tpu.models.unet.attention import (
+    GatedTransformerBlock, dense_2d,
+)
 from diffusion_pruning_tpu.ops.gates import channel_gate, depth_lerp
 
 
@@ -175,8 +177,9 @@ class GatedTransformer2D(nn.Module):
                                  param_dtype=self.param_dtype, name="norm")(x)
             y = y.reshape(b, h * w, c)
             if self.use_linear_projection:
-                y = nn.Dense(self.channels, dtype=self.dtype, param_dtype=self.param_dtype,
-                             name="proj_in")(y)
+                y = dense_2d(nn.Dense(self.channels, dtype=self.dtype,
+                                      param_dtype=self.param_dtype,
+                                      name="proj_in"), y)
             else:
                 y = conv1x1(self.channels, "proj_in", self.dtype, self.param_dtype)(
                     y.reshape(b, h, w, c)).reshape(b, h * w, self.channels)
@@ -188,8 +191,9 @@ class GatedTransformer2D(nn.Module):
                                       self.dtype, self.param_dtype,
                                       name=f"transformer_blocks_{i}")(y, context, g1, g2, gf)
         if self.use_linear_projection:
-            y = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype,
-                         name="proj_out")(y)
+            y = dense_2d(nn.Dense(c, dtype=self.dtype,
+                                  param_dtype=self.param_dtype,
+                                  name="proj_out"), y)
             y = y.reshape(b, h, w, c)
         else:
             y = conv1x1(c, "proj_out", self.dtype, self.param_dtype)(y.reshape(b, h, w, -1))

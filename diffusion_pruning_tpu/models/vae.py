@@ -85,11 +85,16 @@ class _MidAttention(nn.Module):
         b, h, w, c = x.shape
         y = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=self.dtype, name="group_norm")(x)
         y = y.reshape(b, h * w, c)
-        q = nn.Dense(c, dtype=self.dtype, name="to_q")(y)
-        k = nn.Dense(c, dtype=self.dtype, name="to_k")(y)
-        v = nn.Dense(c, dtype=self.dtype, name="to_v")(y)
+        # rank-2 view: the (B, HW, C) single-head shapes here are in the
+        # class XLA:TPU lowers as batch-windowed convs (B× the MACs) — see
+        # models/unet/attention.py dense_2d
+        from diffusion_pruning_tpu.models.unet.attention import dense_2d
+        q = dense_2d(nn.Dense(c, dtype=self.dtype, name="to_q"), y)
+        k = dense_2d(nn.Dense(c, dtype=self.dtype, name="to_k"), y)
+        v = dense_2d(nn.Dense(c, dtype=self.dtype, name="to_v"), y)
         o = jax.nn.dot_product_attention(q[:, :, None, :], k[:, :, None, :], v[:, :, None, :])
-        o = nn.Dense(c, dtype=self.dtype, name="to_out_0")(o.reshape(b, h * w, c))
+        o = dense_2d(nn.Dense(c, dtype=self.dtype, name="to_out_0"),
+                     o.reshape(b, h * w, c))
         return x + o.reshape(b, h, w, c)
 
 

@@ -38,12 +38,29 @@ MXU (`preferred_element_type`), bf16 in/out.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Score-mat VMEM budget for block sizing, and an optional explicit Mosaic
+# VMEM limit. The DEFAULT budget (6 MB) matches Mosaic's default scoped-VMEM
+# window (~16 MB minus buffers); raising the budget only works when the
+# limit is raised with it (v5e has 128 MB of VMEM — the default window is
+# far below the hardware). Round-4 finding: at s_kv=4096 the default
+# shrinks the q-block to 64 rows, strangling the MXU M-dim; see
+# benchmarks/flash_bench.py for the measured ladder.
+_SCORE_BUDGET = int(float(os.environ.get("DPT_FLASH_SCORE_MB", "6")) * 2**20)
+_VMEM_LIMIT = int(float(os.environ.get("DPT_FLASH_VMEM_MB", "0")) * 2**20) or None
+
+
+def _compiler_params():
+    if _VMEM_LIMIT is None:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
 
 def _pick_block(block_q: int, s_q: int, s_kv: int, live_mats: int) -> int:
@@ -52,8 +69,13 @@ def _pick_block(block_q: int, s_q: int, s_kv: int, live_mats: int) -> int:
     blocks take several MB, so budget ~6 MB for the score-sized mats —
     empirically blk=128 at s_kv=4096 still OOMs inside a large graph)."""
     blk = min(block_q, s_q)
-    while blk > 8 and blk * s_kv * 4 * live_mats > 6 * 1024 * 1024:
+    while blk > 8 and blk * s_kv * 4 * live_mats > _SCORE_BUDGET:
         blk //= 2
+    if os.environ.get("DPT_FLASH_DEBUG"):
+        import sys
+        print(f"# flash: blk={max(blk, 8)} (s_q={s_q} s_kv={s_kv} "
+              f"live={live_mats} budget={_SCORE_BUDGET >> 20}MB)",
+              file=sys.stderr)
     return max(blk, 8)
 
 
@@ -206,6 +228,7 @@ def _flash_forward_packed2(q, k, v, gate, block_q, interpret,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(gf, qf, kf, vf)
     out, lse = res if with_lse else (res[0], None)
     return (out.reshape(b, h2, s_q, 2 * d).transpose(0, 2, 1, 3)
@@ -288,6 +311,7 @@ def _flash_forward(
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(gf, qf, kf, vf)
     out, lse = res if with_lse else (res[0], None)
     return out.reshape(b, h, s_q, d).transpose(0, 2, 1, 3), lse
@@ -541,6 +565,7 @@ def _flash_backward_packed2(q, k, v, gate, lse, do, block_q, interpret):
             dg_shape,
         ],
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(gf, qf, kf, vf, dof, lse)
 
     # free row-major reshape to (1, 2, s_q)-consumable rows per head
@@ -574,6 +599,7 @@ def _flash_backward_packed2(q, k, v, gate, lse, do, block_q, interpret):
             dg_shape,
         ],
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(gf, qf, kf, vf, dof, lse_row, delta_row)
 
     def unpack(x, s):
@@ -644,6 +670,7 @@ def _flash_backward(q, k, v, gate, lse, do, block_q, interpret):
             dg_shape,
         ],
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(gf, qf, kf, vf, dof, lsef)
 
     # the dkv kernel wants (1, s_q) rows; the q-block-granular buffers are
@@ -679,6 +706,7 @@ def _flash_backward(q, k, v, gate, lse, do, block_q, interpret):
             dg_shape,
         ],
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(gf, qf, kf, vf, dof, lse_row, delta_row)
 
     def unbh(x, s):

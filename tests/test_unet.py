@@ -214,3 +214,39 @@ def test_subpixel_upsample_exact():
     assert got.shape == want.shape == (2, 10, 14, 10)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_no_rank3_unbatched_dots(tiny):
+    """Round-4 lowering regression: every projection Dense must contract a
+    RANK-2 LHS. XLA:TPU lowers some rank-3 (B, S, C) @ (C, N) dots at the
+    level-0 spatial shapes as batch-windowed convolutions (window=B,
+    pad=(B-1)_(B-1) — B× the GEMM's MACs, measured ~70× off roofline;
+    PERFORMANCE.md round 4). dense_2d (models/unet/attention.py) flattens
+    the free dims so that form is unavailable; this pins the jaxpr shape so
+    a refactor can't quietly reintroduce rank-3 unbatched dots."""
+    cfg, model, params, spec = tiny
+    sample, t, ehs = _inputs(cfg, 2)
+    jaxpr = jax.make_jaxpr(
+        lambda p, s, tt, e: model.apply({"params": p}, s, tt, e))(
+        params, sample, t, ehs)
+
+    # traverse subjaxprs too (remat/scan/cond bodies)
+    import jax._src.core as jcore
+    bad = []
+    seen = set()
+    stack = [jaxpr.jaxpr]
+    while stack:
+        jp = stack.pop()
+        if id(jp) in seen:
+            continue
+        seen.add(id(jp))
+        for eqn in jp.eqns:
+            if eqn.primitive.name == "dot_general":
+                (lc, _), (lb, _) = eqn.params["dimension_numbers"]
+                lhs_rank = len(eqn.invars[0].aval.shape)
+                free = lhs_rank - len(lc) - len(lb)
+                if free > 1 and not lb:
+                    bad.append((eqn.invars[0].aval.shape,
+                                eqn.invars[1].aval.shape))
+        stack.extend(jcore.subjaxprs(jp))
+    assert not bad, f"rank-3+ unbatched dots reappeared: {bad}"
