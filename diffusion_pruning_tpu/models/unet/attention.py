@@ -21,23 +21,38 @@ from flax import linen as nn
 
 from diffusion_pruning_tpu.ops.gates import channel_gate, head_gate
 
-# Diagnostic escape hatch for on-chip A/B of the rank-2 projection view
-# (read at trace time; set before import/jit). Leave unset in production.
+# Rank-2 projection-view mode, for on-chip A/B (read at trace time; set
+# before import/jit):
+#   all  (default) every projection Dense contracts a rank-2 LHS
+#   proj           rank-2 everywhere EXCEPT dots with a fusable elementwise
+#                  epilogue (the GEGLU gelu·mul) — those stay rank-3 so XLA
+#                  can fuse the epilogue into the producing GEMM
+#   off            plain rank-3 application everywhere (pre-fix behavior)
 import os
-_DENSE2D_OFF = bool(os.environ.get("DPT_DENSE2D_OFF"))
+_DENSE2D_MODE = os.environ.get("DPT_DENSE2D", "all")
+if os.environ.get("DPT_DENSE2D_OFF"):  # legacy alias from the first A/B
+    _DENSE2D_MODE = "off"
+assert _DENSE2D_MODE in ("all", "proj", "off"), _DENSE2D_MODE
 
 
-def dense_2d(layer: nn.Module, x: jax.Array) -> jax.Array:
+def dense_2d(layer: nn.Module, x: jax.Array,
+             fused_epilogue: bool = False) -> jax.Array:
     """Apply a Dense through a rank-2 view of a (B, S, C) activation.
 
     XLA:TPU lowers some rank-3 (B, S, C) @ (C, N) dots at the level-0
     spatial shapes as batch-windowed convolutions (`window={size=B
     pad=(B-1)_(B-1) rhs_reversal=1}`) — B× the MACs of the GEMM, measured
-    ~70× off roofline (round-4 profile + optimized-HLO dump,
+    ~70× off roofline in isolation (round-4 profile + optimized-HLO dump,
     PERFORMANCE.md). A rank-2 LHS has a single free dim, so that lowering
     is unavailable. Same parameters, same math, same checkpoint layout.
+
+    `fused_epilogue=True` marks dots whose consumer is a cheap elementwise
+    chain XLA fuses into the GEMM (the GEGLU split+gelu+mul): under
+    `DPT_DENSE2D=proj` those keep the rank-3 form — the round-4 e2e bracket
+    measured the blanket rank-2 view ~4% slower at 256px because unfusing
+    that epilogue costs more than the windowed-conv fix saves.
     """
-    if _DENSE2D_OFF:
+    if _DENSE2D_MODE == "off" or (fused_epilogue and _DENSE2D_MODE == "proj"):
         return layer(x)
     b, s, c = x.shape
     return layer(x.reshape(b * s, c)).reshape(b, s, -1)
@@ -108,7 +123,8 @@ class GatedGEGLU(nn.Module):
     @nn.compact
     def __call__(self, x, gate=None):
         hg = dense_2d(nn.Dense(2 * self.inner_dim, dtype=self.dtype,
-                               param_dtype=self.param_dtype, name="proj"), x)
+                               param_dtype=self.param_dtype, name="proj"), x,
+                      fused_epilogue=True)
         h, g = jnp.split(hg, 2, axis=-1)
         if gate is not None:
             h = channel_gate(h, gate)

@@ -85,11 +85,16 @@ class PrunerLoop:
         os.makedirs(out, exist_ok=True)
         codes = (np.asarray(self.q_state["embedding_gs"]) >= 0.5).astype(np.float32)
         codes = codes / (np.linalg.norm(codes, axis=1, keepdims=True) + 1e-9)
-        heatmap_image(codes @ codes.T).save(
-            os.path.join(out, f"codebook_sim_{self.global_step}.png"))
+        sim_img = heatmap_image(codes @ codes.T)
+        sim_img.save(os.path.join(out, f"codebook_sim_{self.global_step}.png"))
         ratios = np.asarray(aux["batch_resource_ratios"]).reshape(-1, 1)
-        heatmap_image(ratios).save(
+        ratio_img = heatmap_image(ratios)
+        ratio_img.save(
             os.path.join(out, f"batch_resource_ratios_{self.global_step}.png"))
+        # wandb panels when the tracker is live (trainer.py:972-1001)
+        self.tracker.log_images({"codebook_similarity": sim_img,
+                                 "batch_resource_ratios": ratio_img},
+                                self.global_step)
 
     def state_dict(self) -> Dict[str, Any]:
         state = {"trainable": self.trainable, "opt_state": self.opt_state,

@@ -61,6 +61,20 @@ class Tracker:
         if self._wandb is not None:
             self._wandb.log(clean, step=step)
 
+    def log_images(self, images: Dict[str, "object"], step: int) -> None:
+        """Log named PIL images (heatmaps, sample grids) to wandb when live.
+
+        The reference logs its seaborn heatmaps and validation grids via
+        `tracker.log({name: wandb.Image(...)})` (trainer.py:938-955); local
+        PNG copies are the callers' responsibility (log_heatmaps /
+        validation already write them into the run dir).
+        """
+        if self._wandb is None:
+            return
+        import wandb
+        self._wandb.log({k: wandb.Image(v) for k, v in images.items()},
+                        step=step)
+
     def close(self):
         self._fh.close()
         if self._wandb is not None:

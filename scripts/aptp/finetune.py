@@ -179,6 +179,8 @@ def main():
                      macs_ratio=expert_macs_ratio(spec, plan),
                      extra={"max_train_steps": loop_cfg.max_train_steps,
                             "unet_lr": ft_cfg.unet_lr})
+    from diffusion_pruning_tpu.utils.hub import maybe_push_to_hub
+    maybe_push_to_hub(cfg, run_dir)
     print(f"done: {run_dir}")
 
 

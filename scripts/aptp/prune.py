@@ -219,8 +219,8 @@ def main():
                                     "num_inference_steps", 50))
             out = os.path.join(run_dir, "samples")
             os.makedirs(out, exist_ok=True)
-            image_grid(np.asarray(imgs)).save(
-                os.path.join(out, f"samples_{lp.global_step}.png"))
+            grid = image_grid(np.asarray(imgs))
+            grid.save(os.path.join(out, f"samples_{lp.global_step}.png"))
             # unconditional generation from EVERY codebook entry — the
             # reference's log_quantizer_embedding_samples
             # (trainer.py:1001,1308-1402): empty prompt, no CFG, one image
@@ -231,11 +231,16 @@ def main():
                 ids_u, ids_u, jax.random.PRNGKey(lp.global_step),
                 expert_ids=list(range(n_e)), guidance_scale=1.0,
                 num_inference_steps=cfg.training.get("num_inference_steps", 50))
-            image_grid(np.asarray(q_imgs)).save(
-                os.path.join(out, f"quantizer_samples_{lp.global_step}.png"))
+            q_grid = image_grid(np.asarray(q_imgs))
+            q_grid.save(os.path.join(out, f"quantizer_samples_{lp.global_step}.png"))
+            lp.tracker.log_images({"validation_samples": grid,
+                                   "quantizer_embedding_samples": q_grid},
+                                  lp.global_step)
 
         loop.image_logger = image_logger
     loop.train(train_batches, val_batches, place_batch=lambda b: shard_batch(mesh, b))
+    from diffusion_pruning_tpu.utils.hub import maybe_push_to_hub
+    maybe_push_to_hub(cfg, run_dir)
     print(f"done: {run_dir}")
 
 

@@ -226,11 +226,16 @@ def test_no_rank3_unbatched_dots(tiny):
     a refactor can't quietly reintroduce rank-3 unbatched dots."""
     cfg, model, params, spec = tiny
     sample, t, ehs = _inputs(cfg, 2)
+    bad = _rank3_unbatched_dots(model, params, sample, t, ehs)
+    assert not bad, f"rank-3+ unbatched dots reappeared: {bad}"
+
+
+def _rank3_unbatched_dots(model, params, sample, t, ehs):
+    """All (lhs_shape, rhs_shape) pairs of rank-3+ unbatched dot_generals in
+    the forward jaxpr (traverses remat/scan/cond subjaxprs)."""
     jaxpr = jax.make_jaxpr(
         lambda p, s, tt, e: model.apply({"params": p}, s, tt, e))(
         params, sample, t, ehs)
-
-    # traverse subjaxprs too (remat/scan/cond bodies)
     import jax._src.core as jcore
     bad = []
     seen = set()
@@ -249,4 +254,30 @@ def test_no_rank3_unbatched_dots(tiny):
                     bad.append((eqn.invars[0].aval.shape,
                                 eqn.invars[1].aval.shape))
         stack.extend(jcore.subjaxprs(jp))
-    assert not bad, f"rank-3+ unbatched dots reappeared: {bad}"
+    return bad
+
+
+def test_dense2d_proj_mode(tiny, monkeypatch):
+    """`DPT_DENSE2D=proj` keeps EXACTLY the fused-epilogue (GEGLU proj) dots
+    rank-3 — every RHS must be a (C, 2·inner) GEGLU projection — and is a
+    pure lowering choice: outputs bit-match the default rank-2 mode."""
+    import numpy as np
+    from diffusion_pruning_tpu.models.unet import attention
+
+    cfg, model, params, spec = tiny
+    sample, t, ehs = _inputs(cfg, 2)
+    base = model.apply({"params": params}, sample, t, ehs)
+
+    monkeypatch.setattr(attention, "_DENSE2D_MODE", "proj")
+    r3 = _rank3_unbatched_dots(model, params, sample, t, ehs)
+    assert r3, "proj mode should leave the GEGLU proj dots rank-3"
+    geglu_rhs = set()
+    for block_channels in cfg.block_out_channels:
+        geglu_rhs.add((block_channels, 2 * 4 * block_channels))
+    for lhs, rhs in r3:
+        assert rhs in geglu_rhs, f"non-GEGLU rank-3 dot under proj mode: {lhs}@{rhs}"
+    got = model.apply({"params": params}, sample, t, ehs)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
+
+    monkeypatch.setattr(attention, "_DENSE2D_MODE", "off")
+    assert len(_rank3_unbatched_dots(model, params, sample, t, ehs)) > len(r3)
