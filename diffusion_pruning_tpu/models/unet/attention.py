@@ -23,13 +23,17 @@ from diffusion_pruning_tpu.ops.gates import channel_gate, head_gate
 
 # Rank-2 projection-view mode, for on-chip A/B (read at trace time; set
 # before import/jit):
-#   all  (default) every projection Dense contracts a rank-2 LHS
+#   off  (default) plain rank-3 application everywhere — the round-4 e2e
+#                  bracket measured this FASTEST (14.03 img/s vs 13.45
+#                  proj / 13.52 all at 256px B=8 DDIM-25 CFG, 3 proj
+#                  samples within 0.01); see PERFORMANCE.md "dense_2d
+#                  e2e bracket".
+#   all            every projection Dense contracts a rank-2 LHS
 #   proj           rank-2 everywhere EXCEPT dots with a fusable elementwise
 #                  epilogue (the GEGLU gelu·mul) — those stay rank-3 so XLA
 #                  can fuse the epilogue into the producing GEMM
-#   off            plain rank-3 application everywhere (pre-fix behavior)
 import os
-_DENSE2D_MODE = os.environ.get("DPT_DENSE2D", "all")
+_DENSE2D_MODE = os.environ.get("DPT_DENSE2D", "off")
 if os.environ.get("DPT_DENSE2D_OFF"):  # legacy alias from the first A/B
     _DENSE2D_MODE = "off"
 assert _DENSE2D_MODE in ("all", "proj", "off"), _DENSE2D_MODE
@@ -46,11 +50,18 @@ def dense_2d(layer: nn.Module, x: jax.Array,
     PERFORMANCE.md). A rank-2 LHS has a single free dim, so that lowering
     is unavailable. Same parameters, same math, same checkpoint layout.
 
+    MEASURED NEGATIVE e2e (round-4 bracket, PERFORMANCE.md): despite the
+    isolated-dot pathology, the rank-2 view loses ~4% end-to-end at both
+    `all` AND `proj` modes (13.45/13.52 vs 14.03 img/s off) — XLA fuses
+    enough of the surrounding elementwise work into the windowed-conv
+    form that eliminating it is a net loss. Default is therefore `off`;
+    the machinery stays for future XLA versions (the isolated lowering
+    IS ~70× off roofline — if a later compiler stops fusing around it,
+    flip `DPT_DENSE2D=all` and re-bracket).
+
     `fused_epilogue=True` marks dots whose consumer is a cheap elementwise
     chain XLA fuses into the GEMM (the GEGLU split+gelu+mul): under
-    `DPT_DENSE2D=proj` those keep the rank-3 form — the round-4 e2e bracket
-    measured the blanket rank-2 view ~4% slower at 256px because unfusing
-    that epilogue costs more than the windowed-conv fix saves.
+    `DPT_DENSE2D=proj` those keep the rank-3 form.
     """
     if _DENSE2D_MODE == "off" or (fused_epilogue and _DENSE2D_MODE == "proj"):
         return layer(x)

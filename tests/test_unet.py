@@ -216,18 +216,25 @@ def test_subpixel_upsample_exact():
                                rtol=1e-5, atol=1e-5)
 
 
-def test_no_rank3_unbatched_dots(tiny):
-    """Round-4 lowering regression: every projection Dense must contract a
-    RANK-2 LHS. XLA:TPU lowers some rank-3 (B, S, C) @ (C, N) dots at the
-    level-0 spatial shapes as batch-windowed convolutions (window=B,
-    pad=(B-1)_(B-1) — B× the GEMM's MACs, measured ~70× off roofline;
-    PERFORMANCE.md round 4). dense_2d (models/unet/attention.py) flattens
-    the free dims so that form is unavailable; this pins the jaxpr shape so
-    a refactor can't quietly reintroduce rank-3 unbatched dots."""
+def test_no_rank3_unbatched_dots(tiny, monkeypatch):
+    """Round-4 lowering regression: under DPT_DENSE2D=all, every projection
+    Dense must contract a RANK-2 LHS (dense_2d flattens the free dims so
+    XLA:TPU's batch-windowed-conv lowering of rank-3 (B,S,C)@(C,N) dots is
+    unavailable — that lowering is ~70× off roofline in isolation). The
+    DEFAULT mode is `off` because the round-4 e2e bracket measured the
+    rank-2 view ~4% slower end-to-end (XLA fuses surrounding elementwise
+    work into the windowed-conv form — PERFORMANCE.md); this test pins the
+    `all` machinery so it stays correct for future re-brackets."""
+    from diffusion_pruning_tpu.models.unet import attention
+    monkeypatch.setattr(attention, "_DENSE2D_MODE", "all")
     cfg, model, params, spec = tiny
     sample, t, ehs = _inputs(cfg, 2)
     bad = _rank3_unbatched_dots(model, params, sample, t, ehs)
-    assert not bad, f"rank-3+ unbatched dots reappeared: {bad}"
+    assert not bad, f"rank-3+ unbatched dots under mode=all: {bad}"
+    # and the default really is `off` (rank-3 everywhere = fastest measured)
+    monkeypatch.setattr(attention, "_DENSE2D_MODE", "off")
+    assert _rank3_unbatched_dots(model, params, sample, t, ehs), \
+        "mode=off should apply Denses in rank-3 form"
 
 
 def _rank3_unbatched_dots(model, params, sample, t, ehs):
