@@ -8,8 +8,13 @@ OUT=${OUT:-/tmp/q7_results.txt}
 run_arm() {
   local name="$1"; shift
   echo "=== arm $name $(date +%H:%M:%S) ===" >&2
-  local line
-  line=$(env JAX_PLATFORMS='' "$@" python bench.py 2>/tmp/q7_arm_stderr.log | tail -1)
+  local out line rc
+  out=$(env JAX_PLATFORMS='' "$@" python bench.py 2>/tmp/q7_arm_stderr.log)
+  rc=$?
+  line=$(printf '%s\n' "$out" | tail -1)
+  if [ "$rc" -ne 0 ] || [ -z "$line" ]; then
+    line="FAILED rc=$rc (see /tmp/q7_arm_stderr.log)"
+  fi
   echo "$name $line" >> "$OUT"
   echo "$name $line" >&2
 }

@@ -267,7 +267,8 @@ def _rank3_unbatched_dots(model, params, sample, t, ehs):
 def test_dense2d_proj_mode(tiny, monkeypatch):
     """`DPT_DENSE2D=proj` keeps EXACTLY the fused-epilogue (GEGLU proj) dots
     rank-3 — every RHS must be a (C, 2·inner) GEGLU projection — and is a
-    pure lowering choice: outputs bit-match the default rank-2 mode."""
+    pure lowering choice: outputs bit-match the `off` default (rank-3
+    everywhere), under which `base` is traced here."""
     import numpy as np
     from diffusion_pruning_tpu.models.unet import attention
 
