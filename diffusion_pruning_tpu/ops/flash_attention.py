@@ -34,6 +34,15 @@ Shapes are SD-sized (S_q ≤ 4096, head_dim 64, S_kv = S_q or 77): k/v for one
 (batch, head) fit VMEM, so each kernel is a single-pass softmax over the full
 kv extent with a grid over (batch·heads, blocks). f32 accumulation on the
 MXU (`preferred_element_type`), bf16 in/out.
+
+Dot-operand precision (round 5): by default (`DPT_FLASH_DOTS=native`) the
+matmul operands stay in the INPUT dtype — bf16 in the model — which is the
+v5e MXU's native rate; only the softmax statistics (max/exp/sum/lse) and
+the gate scaling run in f32. The gate chain rule is applied to the f32 dot
+RESULTS (g per masked operand participating in each dot) instead of
+pre-scaling q/k/v — identical math, and it keeps the big operands bf16.
+`DPT_FLASH_DOTS=f32` restores the all-f32 upcast (round ≤4 behavior).
+Measured: −21% at the 256px attn1 shape (B=16 S=1024), see PERFORMANCE.md.
 """
 from __future__ import annotations
 
@@ -55,6 +64,25 @@ from jax.experimental.pallas import tpu as pltpu
 # benchmarks/flash_bench.py for the measured ladder.
 _SCORE_BUDGET = int(float(os.environ.get("DPT_FLASH_SCORE_MB", "6")) * 2**20)
 _VMEM_LIMIT = int(float(os.environ.get("DPT_FLASH_VMEM_MB", "0")) * 2**20) or None
+
+# Round-5: dot-operand precision. "native" feeds the MXU the INPUT dtype
+# (bf16 in the model) with f32 accumulation — the v5e MXU's native mode;
+# the round-4 profile showed every flash site at ~10-12 TFLOP/s, consistent
+# with the old always-f32 operand upcast running the matmuls at the f32
+# rate. "f32" restores the upcast. Softmax statistics (max/exp/sum/lse)
+# stay f32 in both modes; probability/ds mats are cast to the input dtype
+# for their dots only in native mode.
+_DOT_MODE = os.environ.get("DPT_FLASH_DOTS", "native")
+
+
+def _dot_in(x):
+    """Dot-operand cast: identity under native mode, f32 upcast otherwise."""
+    return x if _DOT_MODE == "native" else x.astype(jnp.float32)
+
+
+def _prob_in(p, ref_dtype):
+    """Probability/ds-mat cast for the second-stage dots."""
+    return p.astype(ref_dtype) if _DOT_MODE == "native" else p
 
 
 def _compiler_params():
@@ -118,9 +146,9 @@ def _attn_kernel(g_ref, q_ref, k_ref, v_ref, o_ref, lse_ref=None, *,
     # lse (training only): (1, 1, blk_q) logsumexp of the MASKED scores —
     # the backward kernels rebuild their own score blocks from it; the
     # inference path omits the output entirely (no dead HBM writes).
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    q = _dot_in(q_ref[0])
+    k = _dot_in(k_ref[0])
+    v = _dot_in(v_ref[0])
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
     s = s * scale
@@ -130,7 +158,7 @@ def _attn_kernel(g_ref, q_ref, k_ref, v_ref, o_ref, lse_ref=None, *,
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+    o = jax.lax.dot_general(_prob_in(p, v.dtype), v, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     o = o / denom
     if gated:
@@ -154,9 +182,9 @@ def _attn_kernel2(g_ref, q_ref, k_ref, v_ref, o_ref, lse_ref=None, *,
     (better pipelining), score-mat VMEM doubles (block sizing accounts).
     lse (training): (1, 2, n_q, blk) — one q-block-granular row per head."""
     i = pl.program_id(0)
-    q = q_ref[0].astype(jnp.float32)   # (blk, 2d)
-    k = k_ref[0].astype(jnp.float32)   # (s_kv, 2d)
-    v = v_ref[0].astype(jnp.float32)
+    q = _dot_in(q_ref[0])   # (blk, 2d)
+    k = _dot_in(k_ref[0])   # (s_kv, 2d)
+    v = _dot_in(v_ref[0])
     outs = []
     for hh in (0, 1):
         sl = slice(hh * d, (hh + 1) * d)
@@ -168,7 +196,8 @@ def _attn_kernel2(g_ref, q_ref, k_ref, v_ref, o_ref, lse_ref=None, *,
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         denom = jnp.sum(p, axis=-1, keepdims=True)
-        o = jax.lax.dot_general(p, v[:, sl], (((1,), (0,)), ((), ())),
+        o = jax.lax.dot_general(_prob_in(p, v.dtype), v[:, sl],
+                                (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32) / denom
         if gated:
             o = o * g_ref[i * 2 + hh].astype(jnp.float32)
@@ -178,6 +207,134 @@ def _attn_kernel2(g_ref, q_ref, k_ref, v_ref, o_ref, lse_ref=None, *,
     o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
 
 
+def _attn_kernel2_kv(g_ref, q_ref, k_ref, v_ref, o_ref,
+                     m0_ref, l0_ref, m1_ref, l1_ref, acc_ref, *,
+                     scale: float, gated: bool, d: int, n_kv: int):
+    """kv-blocked online-softmax variant of _attn_kernel2 (packed pairs).
+
+    The single-pass kernels hold a full (blk_q, s_kv) score mat, so at
+    s_kv=4096 the q-block collapses to 64 rows to fit VMEM — starving the
+    MXU's M dim (round-4 profile: the 512px attn1 sites). Here the kv extent
+    is blocked too: grid (B·H/2, n_q, n_kv) with kv innermost/sequential,
+    carrying the running row-max m, normalizer l and unnormalized output acc
+    in VMEM scratch (classic flash recurrence: correct by exp(m_old−m_new)).
+    m/l are stored lane-broadcast (all 128 lanes equal) and read back with a
+    lane-max — Mosaic has no scalar-column VMEM layout worth using here."""
+    i = pl.program_id(0)
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _init():
+        m0_ref[...] = jnp.full_like(m0_ref, -jnp.inf)
+        m1_ref[...] = jnp.full_like(m1_ref, -jnp.inf)
+        l0_ref[...] = jnp.zeros_like(l0_ref)
+        l1_ref[...] = jnp.zeros_like(l1_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = _dot_in(q_ref[0])   # (blk_q, 2d)
+    k = _dot_in(k_ref[0])   # (blk_kv, 2d)
+    v = _dot_in(v_ref[0])
+    for hh, m_ref, l_ref in ((0, m0_ref, l0_ref), (1, m1_ref, l1_ref)):
+        sl = slice(hh * d, (hh + 1) * d)
+        s = jax.lax.dot_general(q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        if gated:
+            g = g_ref[i * 2 + hh].astype(jnp.float32)
+            s = s * (g * g)
+        m_prev = jnp.max(m_ref[...], axis=-1, keepdims=True)   # (blk_q, 1)
+        l_prev = jnp.max(l_ref[...], axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        corr = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(_prob_in(p, v.dtype), v[:, sl],
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        acc_ref[:, sl] = acc_ref[:, sl] * corr + pv
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(kk == n_kv - 1)
+    def _fin():
+        outs = []
+        for hh, l_ref in ((0, l0_ref), (1, l1_ref)):
+            sl = slice(hh * d, (hh + 1) * d)
+            denom = jnp.max(l_ref[...], axis=-1, keepdims=True)
+            o = acc_ref[:, sl] / denom
+            if gated:
+                o = o * g_ref[i * 2 + hh].astype(jnp.float32)
+            outs.append(o)
+        o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+
+
+# kv-blocked dispatch thresholds (inference only): self-attention extents
+# ≥ DPT_FLASH_KV_SPLIT use _attn_kernel2_kv; ≤0 disables (default until the
+# on-chip A/B lands — flip to "2048" if it wins). blk sizes are the
+# defaults for the SD 512px shapes (S=4096).
+_KV_SPLIT = int(os.environ.get("DPT_FLASH_KV_SPLIT", "0"))
+_KV_BLK = int(os.environ.get("DPT_FLASH_KV_BLK", "1024"))
+_KV_QBLK = int(os.environ.get("DPT_FLASH_KV_QBLK", "512"))
+
+
+def _flash_forward_packed2_kv(q, k, v, gate, interpret):
+    """Packed-pair inference forward with BOTH extents blocked (see
+    _attn_kernel2_kv). Caller guarantees h even, 2d == 128, s_q % blk_q == 0
+    and s_kv % blk_kv == 0."""
+    b, s_q, h, d = q.shape
+    s_kv = k.shape[1]
+    scale = 1.0 / (d ** 0.5)
+    gated = gate is not None
+    h2 = h // 2
+    blk_q = min(_KV_QBLK, s_q)
+    blk_kv = min(_KV_BLK, s_kv)
+    n_q = pl.cdiv(s_q, blk_q)
+    n_kv = pl.cdiv(s_kv, blk_kv)
+
+    def pack(x):
+        return x.reshape(b, x.shape[1], h2, 2 * d).transpose(0, 2, 1, 3
+                                                             ).reshape(b * h2, x.shape[1], 2 * d)
+
+    qf, kf, vf = pack(q), pack(k), pack(v)
+    gf = (gate.astype(jnp.float32).reshape(b * h) if gated
+          else jnp.ones((1,), jnp.float32))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b * h2, n_q, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, blk_q, 2 * d), lambda i, j, kk, g: (i, j, 0)),
+            pl.BlockSpec((1, blk_kv, 2 * d), lambda i, j, kk, g: (i, kk, 0)),
+            pl.BlockSpec((1, blk_kv, 2 * d), lambda i, j, kk, g: (i, kk, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, blk_q, 2 * d), lambda i, j, kk, g: (i, j, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((blk_q, 128), jnp.float32),   # m0 (lane-broadcast)
+            pltpu.VMEM((blk_q, 128), jnp.float32),   # l0
+            pltpu.VMEM((blk_q, 128), jnp.float32),   # m1
+            pltpu.VMEM((blk_q, 128), jnp.float32),   # l1
+            pltpu.VMEM((blk_q, 2 * d), jnp.float32),  # acc (both heads)
+        ],
+    )
+    if _VMEM_LIMIT is not None:
+        params = pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+            dimension_semantics=("parallel", "parallel", "arbitrary"))
+    else:
+        params = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"))
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel2_kv, scale=scale, gated=gated, d=d,
+                          n_kv=n_kv),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((b * h2, s_q, 2 * d), q.dtype)],
+        interpret=interpret,
+        compiler_params=params,
+    )(gf, qf, kf, vf)[0]
+    return (out.reshape(b, h2, s_q, 2 * d).transpose(0, 2, 1, 3)
+            .reshape(b, s_q, h, d))
+
+
 def _flash_forward_packed2(q, k, v, gate, block_q, interpret,
                            with_lse: bool = False):
     """Forward with head PAIRS packed on the feature dim. Requires h even
@@ -185,6 +342,11 @@ def _flash_forward_packed2(q, k, v, gate, block_q, interpret,
     logsumexp as (B·H/2, 2, n_q, blk) for the packed backward."""
     b, s_q, h, d = q.shape
     s_kv = k.shape[1]
+    if (not with_lse and _KV_SPLIT > 0 and s_kv >= _KV_SPLIT
+            and s_kv % min(_KV_BLK, s_kv) == 0
+            and s_q % min(_KV_QBLK, s_q) == 0):
+        # long-sequence inference: kv-blocked online softmax (big q-blocks)
+        return _flash_forward_packed2_kv(q, k, v, gate, interpret), None
     scale = 1.0 / (d ** 0.5)
     gated = gate is not None
     h2 = h // 2
@@ -326,27 +488,33 @@ def _flash_bwd_dq_kernel(g_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     (dq = g·dq') is applied in-kernel and the q-term of the gate gradient,
     Σ dq'∘q, accumulates across q-blocks in a revisited output block — no
     XLA pass over attention-sized tensors afterwards."""
+    # Gate chain rule is applied to the f32 DOT RESULTS (every dot of two
+    # masked operands carries g², a dot with one masked operand carries g) —
+    # identical math to pre-scaling q/k/v, but the big operands stay in the
+    # input dtype so the MXU runs at its native (bf16) rate in native mode.
     gated_g = g_ref[pl.program_id(0)].astype(jnp.float32) if gated else 1.0
-    q_raw = q_ref[0].astype(jnp.float32)
-    q = q_raw * gated_g
-    k = k_ref[0].astype(jnp.float32) * gated_g
-    v = v_ref[0].astype(jnp.float32) * gated_g
-    do = do_ref[0].astype(jnp.float32)
+    q = _dot_in(q_ref[0])
+    k = _dot_in(k_ref[0])
+    v = _dot_in(v_ref[0])
+    do = _dot_in(do_ref[0])
     # full (n_q, blk) revisited buffer; this step's row → column (blk, 1)
     lse = lse_ref[0, pl.program_id(1)].reshape(-1, 1)
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+                            preferred_element_type=jnp.float32) * (
+        scale * gated_g * gated_g)
     p = jnp.exp(s - lse)
-    # v is already masked (v' = g·v), so o = p@v' IS the forward output
-    o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    delta = jnp.sum(do * o, axis=-1, keepdims=True)       # (blk, 1)
+    # o' = p@(g·v) = g·(p@v) IS the forward output
+    o = jax.lax.dot_general(_prob_in(p, v.dtype), v, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) * gated_g
+    do32 = do.astype(jnp.float32)
+    delta = jnp.sum(do32 * o, axis=-1, keepdims=True)     # (blk, 1)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32) * gated_g
     ds = p * (dp - delta) * scale
-    dq_masked = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
+    dq_masked = jax.lax.dot_general(_prob_in(ds, k.dtype), k,
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * gated_g
     delta_ref[0, pl.program_id(1)] = delta.reshape(-1)
     if gated:
         dq_ref[0] = (dq_masked * gated_g).astype(dq_ref.dtype)
@@ -357,7 +525,7 @@ def _flash_bwd_dq_kernel(g_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
         # scalar partial broadcast-added over the (8,128) tile (Mosaic has no
         # scalar VMEM stores); every element accumulates the same sum
-        dg_ref[0] = dg_ref[0] + jnp.sum(dq_masked * q_raw)
+        dg_ref[0] = dg_ref[0] + jnp.sum(dq_masked * q.astype(jnp.float32))
     else:
         dq_ref[0] = dq_masked.astype(dq_ref.dtype)
         dg_ref[...] = jnp.zeros_like(dg_ref)
@@ -373,26 +541,28 @@ def _flash_bwd_dkv_kernel(g_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref
     in VMEM (8 MB of waste at 4096 tokens). Gate chain rule in-kernel; the
     k/v gate-gradient terms Σ dk'∘k + dv'∘v accumulate across kv-blocks in a
     revisited output block."""
+    # Same result-side gate scaling as the dq kernel (see its note).
     gated_g = g_ref[pl.program_id(0)].astype(jnp.float32) if gated else 1.0
-    q = q_ref[0].astype(jnp.float32) * gated_g     # (s_q, d)
-    k_raw = k_ref[0].astype(jnp.float32)           # (blk_kv, d)
-    v_raw = v_ref[0].astype(jnp.float32)
-    k = k_raw * gated_g
-    v = v_raw * gated_g
-    do = do_ref[0].astype(jnp.float32)             # (s_q, d)
+    q = _dot_in(q_ref[0])                          # (s_q, d)
+    k = _dot_in(k_ref[0])                          # (blk_kv, d)
+    v = _dot_in(v_ref[0])
+    do = _dot_in(do_ref[0])                        # (s_q, d)
     lse = lse_ref[0]                               # (1, s_q)
     delta = delta_ref[0]                           # (1, s_q)
 
     s_t = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32) * scale  # (blk_kv, s_q)
+                              preferred_element_type=jnp.float32) * (
+        scale * gated_g * gated_g)                                          # (blk_kv, s_q)
     p_t = jnp.exp(s_t - lse)
-    dv_masked = jax.lax.dot_general(p_t, do, (((1,), (0,)), ((), ())),
+    dv_masked = jax.lax.dot_general(_prob_in(p_t, do.dtype), do,
+                                    (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)     # (blk_kv, d)
     dp_t = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)          # (blk_kv, s_q)
+                               preferred_element_type=jnp.float32) * gated_g  # (blk_kv, s_q)
     ds_t = p_t * (dp_t - delta) * scale
-    dk_masked = jax.lax.dot_general(ds_t, q, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
+    dk_masked = jax.lax.dot_general(_prob_in(ds_t, q.dtype), q,
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * gated_g
     if gated:
         dk_ref[0] = (dk_masked * gated_g).astype(dk_ref.dtype)
         dv_ref[0] = (dv_masked * gated_g).astype(dv_ref.dtype)
@@ -401,8 +571,8 @@ def _flash_bwd_dkv_kernel(g_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref
         def _init():
             dg_ref[...] = jnp.zeros_like(dg_ref)
 
-        dg_ref[0] = dg_ref[0] + (jnp.sum(dk_masked * k_raw)
-                                 + jnp.sum(dv_masked * v_raw))
+        dg_ref[0] = dg_ref[0] + (jnp.sum(dk_masked * k.astype(jnp.float32))
+                                 + jnp.sum(dv_masked * v.astype(jnp.float32)))
     else:
         dk_ref[0] = dk_masked.astype(dk_ref.dtype)
         dv_ref[0] = dv_masked.astype(dv_ref.dtype)
@@ -417,10 +587,10 @@ def _flash_bwd_dq_kernel2(g_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     (1, 2, 8, 128) — one revisited tile per head."""
     i = pl.program_id(0)
     j = pl.program_id(1)
-    q_raw2 = q_ref[0].astype(jnp.float32)       # (blk, 2d)
-    k2 = k_ref[0].astype(jnp.float32)           # (s_kv, 2d)
-    v2 = v_ref[0].astype(jnp.float32)
-    do2 = do_ref[0].astype(jnp.float32)
+    q2 = _dot_in(q_ref[0])       # (blk, 2d)
+    k2 = _dot_in(k_ref[0])       # (s_kv, 2d)
+    v2 = _dot_in(v_ref[0])
+    do2 = _dot_in(do_ref[0])
 
     if gated:
         @pl.when(j == 0)
@@ -429,32 +599,36 @@ def _flash_bwd_dq_kernel2(g_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     else:
         dg_ref[...] = jnp.zeros_like(dg_ref)
 
+    # result-side gate scaling — see _flash_bwd_dq_kernel's note
     dqs = []
     for hh in (0, 1):
         sl = slice(hh * d, (hh + 1) * d)
         gg = g_ref[i * 2 + hh].astype(jnp.float32) if gated else 1.0
-        q_raw = q_raw2[:, sl]
-        q = q_raw * gg
-        k = k2[:, sl] * gg
-        v = v2[:, sl] * gg
+        q = q2[:, sl]
+        k = k2[:, sl]
+        v = v2[:, sl]
         do = do2[:, sl]
         lse = lse_ref[0, hh, j].reshape(-1, 1)
 
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32) * (
+            scale * gg * gg)
         p = jnp.exp(s - lse)
-        o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        delta = jnp.sum(do * o, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(_prob_in(p, v.dtype), v,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32) * gg
+        delta = jnp.sum(do.astype(jnp.float32) * o, axis=-1, keepdims=True)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32) * gg
         ds = p * (dp - delta) * scale
-        dq_masked = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
+        dq_masked = jax.lax.dot_general(_prob_in(ds, k.dtype), k,
+                                        (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32) * gg
         delta_ref[0, hh, j] = delta.reshape(-1)
         if gated:
             dqs.append(dq_masked * gg)
-            dg_ref[0, hh] = dg_ref[0, hh] + jnp.sum(dq_masked * q_raw)
+            dg_ref[0, hh] = dg_ref[0, hh] + jnp.sum(
+                dq_masked * q.astype(jnp.float32))
         else:
             dqs.append(dq_masked)
     dq_ref[0] = jnp.concatenate(dqs, axis=1).astype(dq_ref.dtype)
@@ -467,10 +641,10 @@ def _flash_bwd_dkv_kernel2(g_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     (blk_kv, 2d) tiles; lse/delta ride as (1, 2, s_q) rows."""
     i = pl.program_id(0)
     j = pl.program_id(1)
-    q2 = q_ref[0].astype(jnp.float32)            # (s_q, 2d)
-    k_raw2 = k_ref[0].astype(jnp.float32)        # (blk_kv, 2d)
-    v_raw2 = v_ref[0].astype(jnp.float32)
-    do2 = do_ref[0].astype(jnp.float32)
+    q2 = _dot_in(q_ref[0])        # (s_q, 2d)
+    k2 = _dot_in(k_ref[0])        # (blk_kv, 2d)
+    v2 = _dot_in(v_ref[0])
+    do2 = _dot_in(do_ref[0])
 
     if gated:
         @pl.when(j == 0)
@@ -479,34 +653,37 @@ def _flash_bwd_dkv_kernel2(g_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     else:
         dg_ref[...] = jnp.zeros_like(dg_ref)
 
+    # result-side gate scaling — see _flash_bwd_dkv_kernel's note
     dks, dvs = [], []
     for hh in (0, 1):
         sl = slice(hh * d, (hh + 1) * d)
         gg = g_ref[i * 2 + hh].astype(jnp.float32) if gated else 1.0
-        q = q2[:, sl] * gg
-        k_raw = k_raw2[:, sl]
-        v_raw = v_raw2[:, sl]
-        k = k_raw * gg
-        v = v_raw * gg
+        q = q2[:, sl]
+        k = k2[:, sl]
+        v = v2[:, sl]
         do = do2[:, sl]
         lse = lse_ref[0, hh].reshape(1, -1)      # (1, s_q)
         delta = delta_ref[0, hh].reshape(1, -1)
 
         s_t = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32) * scale
+                                  preferred_element_type=jnp.float32) * (
+            scale * gg * gg)
         p_t = jnp.exp(s_t - lse)
-        dv_masked = jax.lax.dot_general(p_t, do, (((1,), (0,)), ((), ())),
+        dv_masked = jax.lax.dot_general(_prob_in(p_t, do.dtype), do,
+                                        (((1,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)
         dp_t = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32) * gg
         ds_t = p_t * (dp_t - delta) * scale
-        dk_masked = jax.lax.dot_general(ds_t, q, (((1,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
+        dk_masked = jax.lax.dot_general(_prob_in(ds_t, q.dtype), q,
+                                        (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32) * gg
         if gated:
             dks.append(dk_masked * gg)
             dvs.append(dv_masked * gg)
-            dg_ref[0, hh] = dg_ref[0, hh] + (jnp.sum(dk_masked * k_raw)
-                                             + jnp.sum(dv_masked * v_raw))
+            dg_ref[0, hh] = dg_ref[0, hh] + (
+                jnp.sum(dk_masked * k.astype(jnp.float32))
+                + jnp.sum(dv_masked * v.astype(jnp.float32)))
         else:
             dks.append(dk_masked)
             dvs.append(dv_masked)

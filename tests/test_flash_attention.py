@@ -296,3 +296,122 @@ def test_tpu_tile_legality_all_sd_shapes():
         ]
         for block, array in cases:
             assert legal(block, array), (s_q, s_kv, block, array)
+
+
+def test_flash_bf16_native_dots_forward_parity():
+    """Round-5 native-dot mode: bf16 inputs feed the MXU directly (f32
+    accumulation). Parity vs an all-f32 masked-SDPA golden at bf16-level
+    tolerance — covers the packed (h even) and odd-head split paths."""
+    key = jax.random.PRNGKey(21)
+    for h in (4, 3):
+        ks = jax.random.split(jax.random.fold_in(key, h), 4)
+        b, s, d = 2, 128, 64
+        qf = jax.random.normal(ks[0], (b, s, h, d))
+        kf = jax.random.normal(ks[1], (b, s, h, d))
+        vf = jax.random.normal(ks[2], (b, s, h, d))
+        gate = jax.random.uniform(ks[3], (b, h)) * 0.8 + 0.1
+        want = _reference_sdpa(qf, kf, vf, gate)  # f32 golden
+        got = flash_attention(qf.astype(jnp.bfloat16), kf.astype(jnp.bfloat16),
+                              vf.astype(jnp.bfloat16), gate=gate,
+                              interpret=True)
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want), atol=3e-2, rtol=3e-2)
+
+
+def test_flash_bf16_native_dots_grads_track_f32():
+    """bf16 training path: grads through the native-dot kernels must track
+    the f32 golden directionally (cosine > 0.995 per leaf) and be finite —
+    the dgate path included (it trains the hypernet/codebook)."""
+    key = jax.random.PRNGKey(22)
+    b, s, h, d = 1, 128, 4, 64
+    ks = jax.random.split(key, 4)
+    qf = jax.random.normal(ks[0], (b, s, h, d))
+    kf = jax.random.normal(ks[1], (b, s, h, d))
+    vf = jax.random.normal(ks[2], (b, s, h, d))
+    gate = jax.random.uniform(ks[3], (b, h)) * 0.8 + 0.1
+
+    def loss_flash(q, k, v, g):
+        return (flash_attention(q, k, v, g, 64, True).astype(jnp.float32) ** 2).sum()
+
+    def loss_ref(q, k, v, g):
+        gg = g[:, None, :, None]
+        return (jax.nn.dot_product_attention(q * gg, k * gg, v * gg) ** 2).sum()
+
+    got = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(
+        qf.astype(jnp.bfloat16), kf.astype(jnp.bfloat16),
+        vf.astype(jnp.bfloat16), gate)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(qf, kf, vf, gate)
+    for g1, g2, name in zip(got, want, "qkvg"):
+        a = np.asarray(g1, np.float32).ravel()
+        bvec = np.asarray(g2, np.float32).ravel()
+        assert np.isfinite(a).all(), name
+        cos = float(a @ bvec / (np.linalg.norm(a) * np.linalg.norm(bvec)))
+        assert cos > 0.995, (name, cos)
+
+
+def test_flash_kv_blocked_matches_reference(monkeypatch):
+    """Round-5 kv-blocked online-softmax inference kernel: force the
+    dispatch at tiny shapes (n_kv=4 kv steps exercises the running
+    m/l/acc recurrence across blocks) and pin parity vs masked SDPA,
+    gated + ungated, f32 and bf16."""
+    from diffusion_pruning_tpu.ops import flash_attention as fa
+
+    monkeypatch.setattr(fa, "_KV_SPLIT", 64)
+    monkeypatch.setattr(fa, "_KV_BLK", 32)
+    monkeypatch.setattr(fa, "_KV_QBLK", 32)
+    key = jax.random.PRNGKey(31)
+    b, s, h, d = 2, 128, 4, 64
+    ks = jax.random.split(key, 4)
+    q = jax.random.normal(ks[0], (b, s, h, d))
+    k = jax.random.normal(ks[1], (b, s, h, d))
+    v = jax.random.normal(ks[2], (b, s, h, d))
+    gate = jax.random.uniform(ks[3], (b, h)) * 0.8 + 0.1
+
+    for g in (gate, None):
+        got = flash_attention(q, k, v, gate=g, interpret=True)
+        want = _reference_sdpa(q, k, v, g)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-4)
+
+    got16 = flash_attention(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                            v.astype(jnp.bfloat16), gate=gate, interpret=True)
+    np.testing.assert_allclose(np.asarray(got16, np.float32),
+                               np.asarray(_reference_sdpa(q, k, v, gate)),
+                               atol=3e-2, rtol=3e-2)
+
+
+def test_flash_kv_blocked_odd_heads_and_grad_fallback(monkeypatch):
+    """With the kv split enabled: odd head counts still split packed-evens +
+    unpacked-last correctly, and the TRAINING path (with_lse) must keep
+    using the single-pass kernels (lse layout) — grads stay exact."""
+    from diffusion_pruning_tpu.ops import flash_attention as fa
+
+    monkeypatch.setattr(fa, "_KV_SPLIT", 64)
+    monkeypatch.setattr(fa, "_KV_BLK", 32)
+    monkeypatch.setattr(fa, "_KV_QBLK", 32)
+    key = jax.random.PRNGKey(32)
+    b, s, h, d = 1, 128, 3, 64
+    ks = jax.random.split(key, 4)
+    q = jax.random.normal(ks[0], (b, s, h, d))
+    k = jax.random.normal(ks[1], (b, s, h, d))
+    v = jax.random.normal(ks[2], (b, s, h, d))
+    gate = jax.random.uniform(ks[3], (b, h)) * 0.8 + 0.1
+
+    got = flash_attention(q, k, v, gate=gate, interpret=True)
+    want = _reference_sdpa(q, k, v, gate)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+    def loss_flash(q, k, v, g):
+        return (flash_attention(q, k, v, g, 64, True) ** 2).sum()
+
+    def loss_ref(q, k, v, g):
+        gg = g[:, None, :, None]
+        return (jax.nn.dot_product_attention(q * gg, k * gg, v * gg) ** 2).sum()
+
+    got_g = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, gate)
+    want_g = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, gate)
+    for g1, g2, name in zip(got_g, want_g, "qkvg"):
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   atol=5e-4, rtol=1e-3, err_msg=name)
