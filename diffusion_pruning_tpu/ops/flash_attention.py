@@ -268,11 +268,11 @@ def _attn_kernel2_kv(g_ref, q_ref, k_ref, v_ref, o_ref,
 
 
 # kv-blocked dispatch thresholds (inference only): self-attention extents
-# ≥ DPT_FLASH_KV_SPLIT use _attn_kernel2_kv; ≤0 disables (default until the
-# on-chip A/B lands — flip to "2048" if it wins). blk sizes are the
-# defaults for the SD 512px shapes (S=4096).
-_KV_SPLIT = int(os.environ.get("DPT_FLASH_KV_SPLIT", "0"))
-_KV_BLK = int(os.environ.get("DPT_FLASH_KV_BLK", "1024"))
+# ≥ DPT_FLASH_KV_SPLIT use _attn_kernel2_kv; ≤0 disables. Default ON at
+# 2048+: measured −11% isolated / +3.1% e2e at 512px (PERFORMANCE.md q11);
+# shorter extents keep the single-pass kernels (q-block already large).
+_KV_SPLIT = int(os.environ.get("DPT_FLASH_KV_SPLIT", "2048"))
+_KV_BLK = int(os.environ.get("DPT_FLASH_KV_BLK", "2048"))
 _KV_QBLK = int(os.environ.get("DPT_FLASH_KV_QBLK", "512"))
 
 
