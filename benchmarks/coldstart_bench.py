@@ -8,7 +8,8 @@ actually pays. Without DPT_AOT_DIR it times the pure trace+compile path
 
   JAX_PLATFORMS='' DPT_AOT_DIR=/tmp/dpt_aot python benchmarks/coldstart_bench.py
 Env: DPT_RES (256), DPT_BATCH (8 — tier set {1,2,4,8}), DPT_NE (8),
-DPT_KEEP (0.6), DPT_AOT_DIR (unset = no AOT), DPT_STEPS (25).
+DPT_KEEP (0.6), DPT_AOT_DIR (unset = no AOT), DPT_STEPS (25),
+DPT_WARM_PAR (1 — thread-pool width for warmup program prep).
 """
 import json
 import os
@@ -25,6 +26,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 AOT_DIR = os.environ.get("DPT_AOT_DIR") or None
 STEPS = int(os.environ.get("DPT_STEPS", "25"))
+WARM_PAR = int(os.environ.get("DPT_WARM_PAR", "1"))
 
 
 def main():
@@ -41,13 +43,14 @@ def main():
     log(f"materialised {NE} experts in {t_mat:.1f}s")
 
     t0 = time.perf_counter()
-    stats = server.warmup(num_inference_steps=STEPS, aot_dir=AOT_DIR)
+    stats = server.warmup(num_inference_steps=STEPS, aot_dir=AOT_DIR,
+                          parallel=WARM_PAR)
     t_warm = time.perf_counter() - t0
     print(json.dumps({
         "metric": "serving_coldstart_warmup_s",
         "value": round(t_warm, 1),
         "materialise_s": round(t_mat, 1),
-        "aot": AOT_DIR is not None, **stats,
+        "aot": AOT_DIR is not None, "parallel": WARM_PAR, **stats,
     }))
 
 

@@ -276,6 +276,99 @@ _KV_BLK = int(os.environ.get("DPT_FLASH_KV_BLK", "2048"))
 _KV_QBLK = int(os.environ.get("DPT_FLASH_KV_QBLK", "512"))
 
 
+def _attn_kernel1_kv(g_ref, q_ref, k_ref, v_ref, o_ref,
+                     m_ref, l_ref, acc_ref, *,
+                     scale: float, gated: bool, n_kv: int):
+    """Single-head kv-blocked online-softmax forward — the odd final head of
+    an odd head count (SD-2.1 h=5 at S=4096) runs this instead of the
+    q-block-starved single-pass unpacked kernel. Same recurrence as
+    _attn_kernel2_kv on (blk, d) tiles."""
+    i = pl.program_id(0)
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = _dot_in(q_ref[0])   # (blk_q, d)
+    k = _dot_in(k_ref[0])   # (blk_kv, d)
+    v = _dot_in(v_ref[0])
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    if gated:
+        g = g_ref[i].astype(jnp.float32)
+        s = s * (g * g)
+    m_prev = jnp.max(m_ref[...], axis=-1, keepdims=True)
+    l_prev = jnp.max(l_ref[...], axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    corr = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(_prob_in(p, v.dtype), v, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    acc_ref[...] = acc_ref[...] * corr + pv
+    m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(kk == n_kv - 1)
+    def _fin():
+        denom = jnp.max(l_ref[...], axis=-1, keepdims=True)
+        o = acc_ref[...] / denom
+        if gated:
+            o = o * g_ref[i].astype(jnp.float32)
+        o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _flash_forward_unpacked_kv(q, k, v, gate, interpret):
+    """Unpacked (per-head) kv-blocked inference forward. Caller guarantees
+    s_q % blk_q == 0 and s_kv % blk_kv == 0."""
+    b, s_q, h, d = q.shape
+    s_kv = k.shape[1]
+    scale = 1.0 / (d ** 0.5)
+    gated = gate is not None
+    blk_q = min(_KV_QBLK, s_q)
+    blk_kv = min(_KV_BLK, s_kv)
+    n_kv = pl.cdiv(s_kv, blk_kv)
+
+    def bh(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
+
+    qf, kf, vf = bh(q), bh(k), bh(v)
+    gf = (gate.astype(jnp.float32).reshape(b * h) if gated
+          else jnp.ones((1,), jnp.float32))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b * h, pl.cdiv(s_q, blk_q), n_kv),
+        in_specs=[
+            pl.BlockSpec((1, blk_q, d), lambda i, j, kk, g: (i, j, 0)),
+            pl.BlockSpec((1, blk_kv, d), lambda i, j, kk, g: (i, kk, 0)),
+            pl.BlockSpec((1, blk_kv, d), lambda i, j, kk, g: (i, kk, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, blk_q, d), lambda i, j, kk, g: (i, j, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((blk_q, 128), jnp.float32),   # m (lane-broadcast)
+            pltpu.VMEM((blk_q, 128), jnp.float32),   # l
+            pltpu.VMEM((blk_q, d), jnp.float32),     # acc
+        ],
+    )
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
+        **({"vmem_limit_bytes": _VMEM_LIMIT} if _VMEM_LIMIT is not None else {}))
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel1_kv, scale=scale, gated=gated,
+                          n_kv=n_kv),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((b * h, s_q, d), q.dtype)],
+        interpret=interpret,
+        compiler_params=params,
+    )(gf, qf, kf, vf)[0]
+    return out.reshape(b, h, s_q, d).transpose(0, 2, 1, 3)
+
+
 def _flash_forward_packed2_kv(q, k, v, gate, interpret):
     """Packed-pair inference forward with BOTH extents blocked (see
     _attn_kernel2_kv). Caller guarantees h even, 2d == 128, s_q % blk_q == 0
@@ -425,6 +518,12 @@ def _flash_forward(
             None if gate is None else gate[:, h - 1:], block_q, interpret,
             with_lse=False)
         return jnp.concatenate([even, last], axis=2), None
+
+    if (not with_lse and _KV_SPLIT > 0 and s_kv >= _KV_SPLIT
+            and s_kv % min(_KV_BLK, s_kv) == 0
+            and s_q % min(_KV_QBLK, s_q) == 0):
+        # long-sequence unpacked inference (odd final head): kv-blocked
+        return _flash_forward_unpacked_kv(q, k, v, gate, interpret), None
 
     # (B, S, H, D) -> (B*H, S, D)
     def bh(x):

@@ -109,7 +109,8 @@ class ExpertServer:
 
     def warmup(self, num_inference_steps: int = 25,
                guidance_scale: float = 7.5, hybrid: bool = False,
-               aot_dir: Optional[str] = None, decode: bool = True) -> dict:
+               aot_dir: Optional[str] = None, decode: bool = True,
+               parallel: int = 1) -> dict:
         """Build every (expert, tier) denoise program — plus the hybrid
         gated programs and the per-tier VAE decodes — BEFORE traffic
         arrives, so no request ever pays trace/compile latency.
@@ -125,15 +126,25 @@ class ExpertServer:
         (its batch dim follows request sizes, and the text tower traces
         in ~a second). Mesh-sharded pipelines (parallel.tp.shard_pipeline)
         fall back to built programs — exported modules pin device counts.
+
+        parallel > 1 prepares programs on a thread pool: per-program time
+        over a remote runtime is dominated by compile/transfer waits that
+        release the GIL, so overlapping them cuts restart wall-clock even
+        on a 1-core host (tracing itself still serializes under the GIL).
+        Measured at K=8 SD-2.1 × 4 tiers: PERFORMANCE.md round-5 table.
         """
+        import threading
+
         from diffusion_pruning_tpu.pipelines import aot as aot_lib
         cfg = self.base_pipeline.unet.cfg
         tdt = getattr(self.base_pipeline.text_encoder, "dtype", jnp.float32)
         do_cfg = guidance_scale > 1.0
         s = cfg.sample_size
         stats = {"loaded": 0, "built": 0}
+        lock = threading.Lock()
+        tasks = []
 
-        def warm_programs(pipe, params, arch, tag):
+        def collect_programs(pipe, params, arch, tag):
             run = pipe._denoise_fn(num_inference_steps, guidance_scale,
                                    gated=arch is not None)
             disp = aot_lib.ShapeDispatch(run)
@@ -144,52 +155,71 @@ class ExpertServer:
                                  cfg.cross_attention_dim), tdt)
                 latents = jnp.zeros((t, s, s, cfg.in_channels), jnp.float32)
                 a = None if arch is None else jnp.tile(arch, (t, 1))
-                args = (params, ehs, a, latents)
-                loaded = None
-                if aot_dir is not None:
-                    path = aot_lib.program_path(aot_dir, f"{tag}-t{t}", args)
-                    loaded = aot_lib.try_load(path)
-                if loaded is not None:
-                    # execute once NOW: the deserialized module still XLA-
-                    # compiles on first call (persistent-cache-backed) —
-                    # that belongs in warmup, not in the first request. A
-                    # module that deserializes but cannot RUN here (stale
-                    # artifact from a different topology) falls back to the
-                    # traced build — the aot.py contract: correctness never
-                    # depends on an artifact
-                    try:
-                        jax.block_until_ready(loaded(*args))
-                    except Exception:
-                        loaded = None
-                if loaded is not None:
+                tasks.append((run, disp, (params, ehs, a, latents),
+                              f"{tag}-t{t}"))
+
+        def warm_one(task):
+            run, disp, args, tag_t = task
+            if disp is None:  # decode: no dispatch table, no AOT artifact
+                jax.block_until_ready(run(*args))
+                return
+            loaded = None
+            path = None
+            if aot_dir is not None:
+                path = aot_lib.program_path(aot_dir, tag_t, args)
+                loaded = aot_lib.try_load(path)
+            if loaded is not None:
+                # execute once NOW: the deserialized module still XLA-
+                # compiles on first call (persistent-cache-backed) —
+                # that belongs in warmup, not in the first request. A
+                # module that deserializes but cannot RUN here (stale
+                # artifact from a different topology) falls back to the
+                # traced build — the aot.py contract: correctness never
+                # depends on an artifact
+                try:
+                    jax.block_until_ready(loaded(*args))
+                except Exception:
+                    loaded = None
+            if loaded is not None:
+                with lock:
                     disp.add(args, loaded)
                     stats["loaded"] += 1
-                else:
-                    jax.block_until_ready(run(*args))
+            else:
+                jax.block_until_ready(run(*args))
+                with lock:
                     stats["built"] += 1
-                    if aot_dir is not None and aot_lib.export_to(path, run, args):
-                        fn = aot_lib.try_load(path)
-                        if fn is not None:
+                if aot_dir is not None and aot_lib.export_to(path, run, args):
+                    fn = aot_lib.try_load(path)
+                    if fn is not None:
+                        with lock:
                             disp.add(args, fn)
 
         for e in range(len(self.expert_models)):
-            warm_programs(self._expert_pipe(e), self.expert_params[e],
-                          None, f"denoise-e{e}")
+            collect_programs(self._expert_pipe(e), self.expert_params[e],
+                             None, f"denoise-e{e}")
         if decode:
             # the VAE decode is SHARED across experts (_expert_pipe wires
             # base._fn_cache into every expert pipe) — warm once per tier,
             # not once per expert per tier
             for t in self.batch_shapes:
                 latents = jnp.zeros((t, s, s, cfg.in_channels), jnp.float32)
-                jax.block_until_ready(self.base_pipeline.decode(latents))
+                tasks.append((lambda l: self.base_pipeline.decode(l),
+                              None, (latents,), f"decode-t{t}"))
         if hybrid:
             from diffusion_pruning_tpu.core.estimators import hard_concrete
             codes = hard_concrete(
                 jnp.asarray(self.base_pipeline.quantizer_state["embedding_gs"]))
             # per-prompt archs vary at runtime but the PROGRAM is arch-shape
             # -generic; warm (and export) with code 0's realisation
-            warm_programs(self.base_pipeline, self.base_pipeline.unet_params,
-                          codes[:1], "denoise-gated")
+            collect_programs(self.base_pipeline, self.base_pipeline.unet_params,
+                             codes[:1], "denoise-gated")
+        if parallel > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=parallel) as ex:
+                list(ex.map(warm_one, tasks))
+        else:
+            for task in tasks:
+                warm_one(task)
         return stats
 
     def route(self, input_ids: jax.Array,

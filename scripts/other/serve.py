@@ -67,6 +67,11 @@ def parse_args(argv=None):
     p.add_argument("--aot_dir", type=str, default=None,
                    help="Persist/load AOT programs (pipelines/aot.py).")
     p.add_argument("--no_warmup", action="store_true")
+    p.add_argument("--warmup_parallel", type=int, default=4,
+                   help="thread-pool width for warmup program prep "
+                        "(overlaps compile/load waits — measured 6.3x faster "
+                        "AOT restart at width 4, PERFORMANCE.md round-5; "
+                        "1 = sequential)")
     p.add_argument("--out_dir", type=str, default="runs/served")
     p.add_argument("--seed", type=int, default=43)
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
@@ -174,7 +179,8 @@ def main(argv=None):
         stats = server.warmup(num_inference_steps=args.num_inference_steps,
                               guidance_scale=args.guidance_scale,
                               hybrid=args.mode == "hybrid",
-                              aot_dir=args.aot_dir)
+                              aot_dir=args.aot_dir,
+                              parallel=args.warmup_parallel)
         log(f"warmup {time.perf_counter() - t0:.1f}s "
             f"(loaded {stats['loaded']}, built {stats['built']})")
 
