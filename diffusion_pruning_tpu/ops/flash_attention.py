@@ -33,7 +33,12 @@ longest sequence) pack the even pairs and run the last head unpacked.
 Shapes are SD-sized (S_q ≤ 4096, head_dim 64, S_kv = S_q or 77): k/v for one
 (batch, head) fit VMEM, so each kernel is a single-pass softmax over the full
 kv extent with a grid over (batch·heads, blocks). f32 accumulation on the
-MXU (`preferred_element_type`), bf16 in/out.
+MXU (`preferred_element_type`), bf16 in/out. Exception (round 5): INFERENCE
+at s_kv ≥ 2048 uses kv-blocked online-softmax kernels (_attn_kernel2_kv /
+_attn_kernel1_kv) — the single-pass score mat forces a 64-row q-block at
+s_kv=4096 that starves the MXU M-dim; blocking both extents with the classic
+flash recurrence (running m/l/acc in VMEM scratch) restores a 512-row
+q-block: −11% isolated, +3.1% e2e at 512px (PERFORMANCE.md round 5).
 
 Dot-operand precision (round 5): by default (`DPT_FLASH_DOTS=native`) the
 matmul operands stay in the INPUT dtype — bf16 in the model — which is the

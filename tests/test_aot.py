@@ -96,3 +96,34 @@ def test_try_load_rejects_garbage(tmp_path):
     p.write_bytes(b"not a program")
     assert aot.try_load(str(p)) is None
     assert aot.try_load(str(tmp_path / "absent.jaxpgm")) is None
+
+
+def test_warmup_parallel_matches_sequential(tmp_path):
+    """Round-5 thread-pooled warmup: parallel=2 must produce the same
+    stats and identical serving results as the sequential path, both on
+    the build (trace+export) and the restore (load) legs."""
+    aot_dir = str(tmp_path / "aot")
+    steps = 2
+
+    s1 = make_server()
+    stats1 = s1.warmup(num_inference_steps=steps, aot_dir=aot_dir,
+                       parallel=2)
+    n_programs = len(s1.expert_models) * len(s1.batch_shapes)
+    assert stats1 == {"loaded": 0, "built": n_programs}
+
+    s2 = make_server()
+    stats2 = s2.warmup(num_inference_steps=steps, aot_dir=aot_dir,
+                       parallel=2)
+    assert stats2 == {"loaded": n_programs, "built": 0}
+
+    cfg = s1.base_pipeline.unet.cfg
+    ids = jnp.asarray(jax.random.randint(
+        jax.random.PRNGKey(5), (3, cfg.max_text_len), 0, 100))
+    neg = jnp.zeros((1, cfg.max_text_len), jnp.int32)
+    key = jax.random.PRNGKey(0)
+    plain = make_server()   # no warmup: pure traced path
+    img_plain, idx_plain = plain.generate(ids, neg, key,
+                                          num_inference_steps=steps)
+    img_par, idx_par = s2.generate(ids, neg, key, num_inference_steps=steps)
+    np.testing.assert_array_equal(idx_plain, idx_par)
+    np.testing.assert_allclose(img_plain, img_par, atol=2e-5)
