@@ -94,3 +94,13 @@ def load_config(path: str, overrides: Optional[Dict[str, Any]] = None) -> Config
     if overrides:
         cfg.update_flat(overrides)
     return cfg
+
+
+def load_config_dict(d: Optional[Dict[str, Any]],
+                     overrides: Optional[Dict[str, Any]] = None) -> Config:
+    """Build a Config from an in-memory dict — the programmatic twin of
+    load_config (tests, notebook use, and the hub-contract tests)."""
+    cfg = _wrap(d or {})
+    if overrides:
+        cfg.update_flat(overrides)
+    return cfg
